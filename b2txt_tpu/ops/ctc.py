@@ -1,0 +1,140 @@
+"""Connectionist Temporal Classification loss in pure JAX.
+
+Parity target: ``torch.nn.CTCLoss(blank=0, reduction='none', zero_infinity=False)``
+as used at ``rnn_trainer.py:242,538-545``. Per-sample negative log-likelihoods
+over the padded batch, with static shapes (targets padded to S_max, alphas over
+the 2*S_max+1 extended label row) so the whole loss jits into one fused scan.
+
+The forward recursion runs in log space over time via ``lax.scan``; gradients
+come from JAX autodiff through the scan, which XLA turns into the standard
+alpha-beta computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite stand-in for -inf: keeps grads NaN-free through logaddexp
+
+
+def _logaddexp3(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, NEG_INF)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    )
+    return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+
+@functools.partial(jax.jit, static_argnames=("blank",))
+def ctc_loss(
+    log_probs: jax.Array,
+    targets: jax.Array,
+    input_lengths: jax.Array,
+    target_lengths: jax.Array,
+    blank: int = 0,
+) -> jax.Array:
+    """Per-sample CTC negative log-likelihood.
+
+    Args:
+      log_probs: (B, T, C) log-softmax outputs.
+      targets: (B, S) int labels, padded arbitrarily past target_lengths.
+      input_lengths: (B,) valid time steps per sample.
+      target_lengths: (B,) valid labels per sample.
+      blank: blank id (reference uses 0).
+
+    Returns (B,) losses. Impossible alignments (input too short) yield +inf-like
+    large values, matching torch with zero_infinity=False.
+    """
+    B, T, C = log_probs.shape
+    S = targets.shape[1]
+    L = 2 * S + 1
+
+    targets = targets.astype(jnp.int32)
+    input_lengths = input_lengths.astype(jnp.int32)
+    target_lengths = target_lengths.astype(jnp.int32)
+
+    # Extended label row: [blank, y1, blank, y2, ..., yS, blank], shape (B, L).
+    ext = jnp.full((B, L), blank, dtype=jnp.int32)
+    ext = ext.at[:, 1::2].set(targets)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    is_label = (pos % 2) == 1
+    within = pos < (2 * target_lengths[:, None] + 1)
+
+    # Skip transition s-2 → s allowed when z_s is a label differing from z_{s-2}.
+    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :L]
+    skip_ok = is_label & (pos >= 2) & (ext != ext_m2)
+
+    # Initial alpha: positions 0 (blank) and 1 (first label) at t=0 get log_probs.
+    lp0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)  # (B, L)
+    alpha0 = jnp.where((pos == 0) | ((pos == 1) & within), lp0, NEG_INF)
+
+    def step(alpha, lp_t):
+        t, lp = lp_t
+        a_prev1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG_INF)[:, :L]
+        a_prev2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG_INF)[:, :L]
+        a_prev2 = jnp.where(skip_ok, a_prev2, NEG_INF)
+        emit = jnp.take_along_axis(lp, ext, axis=1)
+        new = _logaddexp3(alpha, a_prev1, a_prev2) + emit
+        new = jnp.where(within, new, NEG_INF)
+        # Freeze once past this sample's input length.
+        active = (t < input_lengths)[:, None]
+        return jnp.where(active, new, alpha), None
+
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    alpha, _ = jax.lax.scan(step, alpha0, (ts, jnp.moveaxis(log_probs[:, 1:, :], 1, 0)))
+
+    # Loss = -logadd(alpha[2*len], alpha[2*len-1]); handle len==0 (blank-only path).
+    last = 2 * target_lengths
+    a_last = jnp.take_along_axis(alpha, last[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha, jnp.maximum(last - 1, 0)[:, None], axis=1
+    )[:, 0]
+    a_prev = jnp.where(target_lengths > 0, a_prev, NEG_INF)
+    m = jnp.maximum(a_last, a_prev)
+    m_safe = jnp.maximum(m, NEG_INF)
+    total = m_safe + jnp.log(jnp.exp(a_last - m_safe) + jnp.exp(a_prev - m_safe))
+    total = jnp.where(m <= NEG_INF, NEG_INF, total)
+    return -total
+
+
+def ctc_loss_from_logits(
+    logits: jax.Array,
+    targets: jax.Array,
+    input_lengths: jax.Array,
+    target_lengths: jax.Array,
+    blank: int = 0,
+) -> jax.Array:
+    """Convenience wrapper matching the trainer call pattern
+    (log_softmax over classes, then CTC) — rnn_trainer.py:538-545."""
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return ctc_loss(log_probs, targets, input_lengths, target_lengths, blank=blank)
+
+
+@jax.jit
+def greedy_decode_ids(logits: jax.Array, input_lengths: jax.Array) -> jax.Array:
+    """Per-frame argmax ids, with frames past input_length forced to blank (0).
+
+    Collapse/blank-removal (unique_consecutive) happens host-side via
+    ``utils.phonemes.greedy_collapse`` — parity with rnn_trainer.py:724-728.
+    """
+    ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+    B, T = ids.shape
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    return jnp.where(t_idx < input_lengths[:, None], ids, 0)
+
+
+def batched_greedy_collapse(ids, input_lengths) -> list:
+    """Host-side: collapse repeats + drop blanks for each row of (B, T) ids."""
+    import numpy as np
+
+    from ..utils.phonemes import greedy_collapse
+
+    ids = np.asarray(ids)
+    lens = np.asarray(input_lengths)
+    return [greedy_collapse(ids[i, : lens[i]]) for i in range(ids.shape[0])]
