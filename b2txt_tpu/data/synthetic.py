@@ -27,6 +27,19 @@ _WORDS = [
 SIL = 40
 
 
+def word_pronunciations() -> Dict[str, List[str]]:
+    """{word: phone strings} for the synthetic vocabulary (lexicon building)."""
+    from ..utils.phonemes import LOGIT_TO_PHONEME
+
+    return {w: [LOGIT_TO_PHONEME[i] for i in ids] for w, ids in _WORDS}
+
+
+def sentence_corpus(n: int = 50, seed: int = 7) -> List[List[str]]:
+    """Random sentences over the synthetic vocabulary (LM training corpus)."""
+    rng = np.random.default_rng(seed)
+    return [make_sentence(rng, int(rng.integers(2, 5)))[0].split() for _ in range(n)]
+
+
 def make_sentence(rng: np.random.Generator, n_words: int = 3):
     """Random word sequence → (sentence string, phoneme id sequence with SIL
     at word ends, model output order)."""

@@ -1,0 +1,282 @@
+"""N-best rescoring: word-swap augmentation, unpruned n-gram rescoring, and
+LLM rescoring with the α-blended total score.
+
+Parity targets in ``language_model/language-model-standalone.py``:
+  * get_string_differences (:273-310) — word-level alignment with backtrace
+  * augment_nbest (:327-411) — swap differing words between equal-length
+    candidate pairs, score = mean − penalty_percent·|mean|
+  * Rescore (brain_speech_decoder.cc:61-101) — lattice −pruned+unpruned G
+    rescoring, realized here as n-best rescoring against the unpruned n-gram
+  * rescore_with_gpt2 / gpt2_lm_decode (:127-251) — token-logprob sums minus
+    length penalty, total = acoustic_scale·ac + (1−α)·ngram + α·llm, optional
+    context prefix and softmax confidence
+
+The LLM backend is pluggable: a torch/transformers causal LM (the reference's
+OPT-6.7b path, CPU/GPU), or any object with ``score(texts) → List[float]``.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+from ..lm.ngram import NGramLM
+from .lmbeam import DecodeResult
+
+
+def get_string_differences(cue: str, decoder_output: str):
+    """Word-level minimum-edit alignment of decoder_output against cue.
+
+    Returns (cost, path, indices_to_highlight) with path entries 'I'/'D'/'R'
+    or the matched word index — same contract as the reference (:273-310).
+    """
+    decoder_output_words = decoder_output.split()
+    cue_words = cue.split()
+
+    @lru_cache(None)
+    def align(i: int, j: int):
+        if i == 0:
+            return j, ("I",) * j
+        if j == 0:
+            return i, ("D",) * i
+        if decoder_output_words[i - 1] == cue_words[j - 1]:
+            cost, path = align(i - 1, j - 1)
+            return cost, path + (i - 1,)
+        ins_c, ins_p = align(i, j - 1)
+        del_c, del_p = align(i - 1, j)
+        sub_c, sub_p = align(i - 1, j - 1)
+        if ins_c <= del_c and ins_c <= sub_c:
+            return ins_c + 1, ins_p + ("I",)
+        if del_c <= ins_c and del_c <= sub_c:
+            return del_c + 1, del_p + ("D",)
+        return sub_c + 1, sub_p + ("R",)
+
+    cost, path = align(len(decoder_output_words), len(cue_words))
+    path = [p for p in path if p != "I"]
+
+    indices = []
+    cur = 0
+    for label, word in zip(path, decoder_output_words):
+        if label in ("R", "D"):
+            indices.append((cur, cur + len(word)))
+        cur += len(word) + 1
+    return cost, list(path), indices
+
+
+NBest = List[Tuple[str, float, float]]  # (sentence, ac_score, lm_score)
+
+
+def results_to_nbest(results: Sequence[DecodeResult]) -> NBest:
+    return [(r.sentence, r.ac_score, r.lm_score) for r in results]
+
+
+def augment_nbest(
+    nbest: NBest,
+    top_candidates_to_augment: int = 20,
+    acoustic_scale: float = 0.3,
+    score_penalty_percent: float = 0.01,
+) -> NBest:
+    """Generate extra candidates by swapping substituted words between
+    equal-length candidate pairs (reference :327-411)."""
+    sentences = [s.strip() for s, _, _ in nbest]
+    ac = [a for _, a, _ in nbest]
+    lm = [l for _, _, l in nbest]
+    total = [acoustic_scale * a + l for _, a, l in nbest]
+
+    order = np.argsort(total)[::-1]
+    sentences = [sentences[i] for i in order]
+    ac = [ac[i] for i in order]
+    lm = [lm[i] for i in order]
+    total = [total[i] for i in order]
+
+    new_s: List[str] = []
+    new_ac: List[float] = []
+    new_lm: List[float] = []
+    new_total: List[float] = []
+
+    top = top_candidates_to_augment
+    for i1 in range(min(len(sentences) - 1, top)):
+        w1 = sentences[i1].split()
+        for i2 in range(i1 + 1, min(len(sentences), top)):
+            w2 = sentences[i2].split()
+            if len(w1) != len(w2):
+                continue
+            _, path1, _ = get_string_differences(sentences[i1], sentences[i2])
+            _, path2, _ = get_string_differences(sentences[i2], sentences[i1])
+            r1 = [i for i, p in enumerate(path2) if p == "R"]
+            r2 = [i for i, p in enumerate(path1) if p == "R"]
+            for a, b in zip(r1, r2):
+                for nw1, nw2 in (
+                    (w1[:a] + [w2[b]] + w1[a + 1:], None),
+                    (None, w2[:b] + [w1[a]] + w2[b + 1:]),
+                ):
+                    cand = " ".join(nw1 if nw1 is not None else nw2)
+                    if cand in sentences or cand in new_s:
+                        continue
+                    mean_ac = float(np.mean([ac[i1], ac[i2]]))
+                    mean_lm = float(np.mean([lm[i1], lm[i2]]))
+                    pa = mean_ac - score_penalty_percent * abs(mean_ac)
+                    pl = mean_lm - score_penalty_percent * abs(mean_lm)
+                    new_s.append(cand)
+                    new_ac.append(pa)
+                    new_lm.append(pl)
+                    new_total.append(acoustic_scale * pa + pl)
+
+    sentences += new_s
+    ac += new_ac
+    lm += new_lm
+    total += new_total
+    order = np.argsort(total)[::-1]
+    return [(sentences[i], ac[i], lm[i]) for i in order]
+
+
+def rescore_nbest_with_ngram(nbest: NBest, lm: NGramLM) -> NBest:
+    """Replace each candidate's n-gram score with the unpruned model's full
+    sentence log-probability — the n-best analogue of the reference's lattice
+    −G_pruned +G_unpruned rescore (brain_speech_decoder.cc:61-101)."""
+    out = []
+    for sentence, ac_score, _ in nbest:
+        words = sentence.strip().split()
+        out.append((sentence, ac_score, lm.sentence_logp(words)))
+    return out
+
+
+class LLMScorer(Protocol):
+    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+        ...
+
+
+class TorchCausalLMRescorer:
+    """transformers causal-LM rescorer (the reference's OPT path, :92-161).
+
+    Works with any AutoModelForCausalLM id; fp16 on CUDA, fp32 on CPU.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "facebook/opt-6.7b",
+        cache_dir: Optional[str] = None,
+        device: Optional[str] = None,
+    ):
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        self.torch = torch
+        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name, cache_dir=cache_dir)
+        self.model = AutoModelForCausalLM.from_pretrained(
+            model_name,
+            cache_dir=cache_dir,
+            torch_dtype=torch.float16 if self.device != "cpu" else torch.float32,
+        )
+        if self.device != "cpu":
+            self.model = self.model.to(self.device)
+        self.model.eval()
+        self.tokenizer.padding_side = "right"
+        if self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+
+    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+        torch = self.torch
+        with torch.inference_mode():
+            inputs = self.tokenizer(list(texts), return_tensors="pt", padding=True)
+            inputs = {k: v.to(self.device) for k, v in inputs.items()}
+            logits = self.model(**inputs).logits
+            log_probs = torch.nn.functional.log_softmax(logits.float(), dim=-1)
+            ids = inputs["input_ids"]
+            mask = inputs["attention_mask"]
+            tok_lp = torch.gather(
+                log_probs[:, :-1], 2, ids[:, 1:, None]
+            ).squeeze(-1)
+            tok_lp = tok_lp * mask[:, 1:]
+            sums = tok_lp.sum(dim=1)
+            n_tokens = mask.sum(dim=1)
+            return (sums - n_tokens * length_penalty).cpu().tolist()
+
+
+class NGramLLMAdapter:
+    """Test/offline stand-in: any NGramLM behind the LLMScorer protocol."""
+
+    def __init__(self, lm: NGramLM):
+        self.lm = lm
+
+    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+        out = []
+        for t in texts:
+            words = t.lower().split()
+            out.append(self.lm.sentence_logp(words) - len(words) * length_penalty)
+        return out
+
+
+@dataclass
+class RescoreOutput:
+    best: str
+    nbest: List[Tuple[str, float, float, float, float]]  # s, ac, ngram, llm, total
+    confidence: Optional[float] = None
+
+
+def llm_rescore(
+    scorer: LLMScorer,
+    nbest: NBest,
+    acoustic_scale: float,
+    alpha: float,
+    length_penalty: float = 0.0,
+    context: Optional[str] = None,
+    batch_fallback: int = 5,
+) -> RescoreOutput:
+    """α-blend LLM rescoring of an n-best list (gpt2_lm_decode parity,
+    :165-251): total = acoustic_scale·ac + (1−α)·ngram + α·llm."""
+    hyps: List[str] = []
+    ac: List[float] = []
+    ngram: List[float] = []
+    kept: List[Tuple[str, float, float]] = []
+    for s, a, l in nbest:
+        hyp = s.strip()
+        if not hyp:
+            continue
+        if context and context.split():
+            hyp = context + " " + hyp
+        hyp = (
+            hyp.replace(">", "").replace("  ", " ").replace(" ,", ",")
+            .replace(" .", ".").replace(" ?", "?")
+        )
+        hyps.append(hyp)
+        ac.append(a)
+        ngram.append(l)
+        kept.append((s, a, l))
+
+    if not hyps:
+        return RescoreOutput(best="", nbest=[], confidence=0.0)
+
+    try:
+        llm_scores = np.asarray(scorer.score(hyps, length_penalty))
+    except Exception as e:  # batched retry then zeros (reference :214-226)
+        logging.error(f"Error during LLM rescore: {e}")
+        try:
+            llm_scores = []
+            step = int(np.ceil(len(hyps) / batch_fallback))
+            for i in range(0, len(hyps), step):
+                llm_scores.extend(scorer.score(hyps[i : i + step], length_penalty))
+            llm_scores = np.asarray(llm_scores)
+        except Exception as e2:
+            logging.error(f"Error during LLM rescore: {e2}")
+            llm_scores = np.zeros(len(hyps))
+
+    ac_arr = np.asarray(ac)
+    ngram_arr = np.asarray(ngram)
+    totals = acoustic_scale * ac_arr + (1 - alpha) * ngram_arr + alpha * llm_scores
+    best_idx = int(np.argmax(totals))
+
+    out_rows = [
+        (kept[i][0], float(ac_arr[i]), float(ngram_arr[i]),
+         float(llm_scores[i]), float(totals[i]))
+        for i in range(len(kept))
+    ]
+    shifted = totals - totals.max()
+    probs = np.exp(shifted)
+    conf = float(probs[best_idx] / probs.sum())
+    return RescoreOutput(best=kept[best_idx][0].strip(), nbest=out_rows, confidence=conf)

@@ -1,0 +1,204 @@
+"""45-session evaluation harness: greedy PER, LM-decoded WER, competition CSV.
+
+Parity target: ``model_training/evaluate_model.py`` + helpers — per-session
+data_{val,test}.hdf5 loading, inference with 'valid'-padding Gaussian smoothing
+(runSingleDecodingStep, helpers:87-115), greedy argmax phoneme printout, LM
+decoding via the streaming service (replacing the Redis round-trip), aggregate
+WER with punctuation-normalized references (:240-267), and the
+``id,text`` competition CSV (:270-274).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.hdf5_store import load_session_file
+from ..models import gru_decoder
+from ..ops.ctc import greedy_decode_ids
+from ..ops.smoothing import gauss_smooth, gaussian_kernel
+from ..serve.service import DecoderService, FinalOutput
+from ..utils.config import TrainConfig
+from ..utils.metrics import calculate_aggregate_error_rate, edit_distance
+from ..utils.phonemes import LOGIT_TO_PHONEME, greedy_collapse, remove_punctuation
+
+
+@dataclass
+class TrialEval:
+    session: str
+    day_idx: int
+    block_num: int
+    trial_num: int
+    logits: np.ndarray          # (P, 41) float32, model channel order
+    decoded_ids: List[int]      # greedy phoneme ids
+    true_ids: Optional[List[int]]
+    sentence_label: Optional[str]
+    decoded_sentence: Optional[str] = None  # filled by LM decode
+
+
+def run_single_decoding_step(
+    params,
+    x: np.ndarray,
+    day_idx: int,
+    cfg: TrainConfig,
+    compute_dtype=jnp.float32,
+) -> np.ndarray:
+    """Smooth ('valid' padding — the inference-path difference, helpers:92-98)
+    then forward one trial. Returns (P, 41) float32 logits."""
+    dt = cfg.dataset.data_transforms
+    x = jnp.asarray(x, jnp.float32)[None]
+    if dt.smooth_data:
+        x = gauss_smooth(
+            x, std=dt.smooth_kernel_std, size=dt.smooth_kernel_size, padding="valid"
+        )
+    logits = gru_decoder.forward(
+        params, x, jnp.asarray([day_idx]),
+        patch_size=cfg.model.patch_size, patch_stride=cfg.model.patch_stride,
+        compute_dtype=compute_dtype,
+    )
+    return np.asarray(logits[0], np.float32)
+
+
+def _batched_inference(
+    params, feats_list: List[np.ndarray], day_idx: int, cfg: TrainConfig,
+    compute_dtype, batch_size: int = 32, time_bucket: int = 128,
+) -> List[np.ndarray]:
+    """Pad trials into bucketed batches for device efficiency; per-trial
+    adjusted lengths slice the per-trial logits back out."""
+    dt = cfg.dataset.data_transforms
+    ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
+    out: List[Optional[np.ndarray]] = [None] * len(feats_list)
+    order = np.argsort([f.shape[0] for f in feats_list])
+    for start in range(0, len(order), batch_size):
+        idxs = order[start : start + batch_size]
+        max_t = max(feats_list[i].shape[0] for i in idxs)
+        T_pad = ((max_t + time_bucket - 1) // time_bucket) * time_bucket
+        batch = np.zeros((len(idxs), T_pad, feats_list[idxs[0]].shape[1]), np.float32)
+        for row, i in enumerate(idxs):
+            batch[row, : feats_list[i].shape[0]] = feats_list[i]
+        x = jnp.asarray(batch)
+        if dt.smooth_data:
+            x = gauss_smooth(
+                x, std=dt.smooth_kernel_std, size=dt.smooth_kernel_size, padding="valid"
+            )
+        logits = gru_decoder.forward(
+            params, x, jnp.full((len(idxs),), day_idx),
+            patch_size=cfg.model.patch_size, patch_stride=cfg.model.patch_stride,
+            compute_dtype=compute_dtype,
+        )
+        logits = np.asarray(logits, np.float32)
+        for row, i in enumerate(idxs):
+            t_i = feats_list[i].shape[0]
+            if dt.smooth_data:
+                t_i = t_i - ksize + 1
+            p_i = (t_i - cfg.model.patch_size) // cfg.model.patch_stride + 1
+            out[i] = logits[row, :p_i]
+    return out  # type: ignore[return-value]
+
+
+def evaluate_sessions(
+    params,
+    cfg: TrainConfig,
+    data_dir: str,
+    eval_type: str = "val",
+    sessions: Optional[Sequence[str]] = None,
+    decoder: Optional[DecoderService] = None,
+    compute_dtype=jnp.float32,
+    batched: bool = True,
+    verbose: bool = False,
+) -> Dict:
+    """Run the full eval flow. Returns a dict with per-trial results, greedy
+    aggregate PER, and (with a decoder) aggregate WER."""
+    sessions = list(sessions if sessions is not None else cfg.dataset.sessions)
+    trials: List[TrialEval] = []
+
+    for day_idx, session in enumerate(sessions):
+        path = os.path.join(data_dir, session, f"data_{eval_type}.hdf5")
+        if not os.path.exists(path):
+            continue
+        data = load_session_file(path)
+        feats = data["neural_features"]
+        if not feats:
+            continue
+        if batched:
+            logits_list = _batched_inference(
+                params, feats, day_idx, cfg, compute_dtype
+            )
+        else:
+            logits_list = [
+                run_single_decoding_step(params, f, day_idx, cfg, compute_dtype)
+                for f in feats
+            ]
+        for i, logits in enumerate(logits_list):
+            decoded = greedy_collapse(np.argmax(logits, axis=-1))
+            true_ids = (
+                list(map(int, data["seq_class_ids"][i][: data["seq_len"][i]]))
+                if data["seq_class_ids"][i] is not None and data["seq_len"][i]
+                else None
+            )
+            trials.append(
+                TrialEval(
+                    session=session, day_idx=day_idx,
+                    block_num=data["block_num"][i], trial_num=data["trial_num"][i],
+                    logits=logits, decoded_ids=decoded, true_ids=true_ids,
+                    sentence_label=data["sentence_label"][i],
+                )
+            )
+            if verbose and true_ids is not None:
+                print(f"{session} b{data['block_num'][i]} t{data['trial_num'][i]}:"
+                      f" {' '.join(LOGIT_TO_PHONEME[j] for j in decoded)}")
+
+    out: Dict = {"trials": trials, "eval_type": eval_type}
+
+    # Greedy aggregate PER over trials with labels
+    labeled = [t for t in trials if t.true_ids is not None]
+    if labeled:
+        total_ed = sum(edit_distance(t.true_ids, t.decoded_ids) for t in labeled)
+        total_len = sum(len(t.true_ids) for t in labeled)
+        out["greedy_PER"] = total_ed / max(total_len, 1)
+        day_per: Dict[str, Tuple[int, int]] = {}
+        for t in labeled:
+            ed = edit_distance(t.true_ids, t.decoded_ids)
+            e, l = day_per.get(t.session, (0, 0))
+            day_per[t.session] = (e + ed, l + len(t.true_ids))
+        out["day_PER"] = {
+            s: e / max(l, 1) for s, (e, l) in day_per.items()
+        }
+
+    # LM decode → sentences + aggregate WER
+    if decoder is not None:
+        t0 = time.time()
+        for t in trials:
+            final: FinalOutput = decoder.decode_utterance(t.logits)
+            t.decoded_sentence = final.sentence
+        out["lm_decode_time"] = time.time() - t0
+        out["sentences_per_sec"] = len(trials) / max(out["lm_decode_time"], 1e-9)
+
+        refs, hyps = [], []
+        for t in trials:
+            if t.sentence_label is None:
+                continue
+            refs.append(remove_punctuation(t.sentence_label).split())
+            hyps.append(remove_punctuation(t.decoded_sentence or "").split())
+        if refs:
+            agg, lo, hi, per_item = calculate_aggregate_error_rate(refs, hyps, seed=0)
+            out["WER"] = agg
+            out["WER_CI"] = (lo, hi)
+    return out
+
+
+def write_competition_csv(trials: Sequence[TrialEval], csv_path: str) -> None:
+    """Write the 'id,text' submission file (evaluate_model.py:270-274)."""
+    os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["id", "text"])
+        for i, t in enumerate(trials):
+            writer.writerow([i, t.decoded_sentence or ""])

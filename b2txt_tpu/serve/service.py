@@ -1,0 +1,199 @@
+"""Streaming decode service: the in-process replacement for the reference's
+two-process Redis pipeline.
+
+Protocol parity with ``language-model-standalone.py:514-790``: the verbs
+reset / update_params / decode_chunk (partial output per chunk) / finalize
+(final output with ';'-packed 5-tuple scoring) behave like the Redis streams
+remote_lm_reset, remote_lm_update_params, remote_lm_input →
+remote_lm_output_partial, remote_lm_finalize → remote_lm_output_final,
+including the conversational context prefix for LLM rescoring
+(contextual_decoding_current_context). A drop-in Redis adapter that speaks the
+original stream names lives in ``redis_adapter.py``.
+
+Logits arrive in the wire channel order [BLANK, SIL, phones...] (what
+evaluate_model.py:190 sends after rearrange_speech_logits_pt) or the model
+order [BLANK, phones..., SIL]; the service permutes internally.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..decode.lmbeam import DecodeResult, LexiconBeamSearch
+from ..decode.rescore import (
+    LLMScorer,
+    RescoreOutput,
+    augment_nbest,
+    llm_rescore,
+    rescore_nbest_with_ngram,
+    results_to_nbest,
+)
+from ..lm.lexicon import Lexicon
+from ..lm.ngram import NGramLM
+from ..utils.config import DecodeConfig
+
+LOG = logging.getLogger("b2txt_tpu.serve")
+
+# wire (LM) order [BLANK, SIL, p1..p39]  →  model order [BLANK, p1..p39, SIL]:
+# wire channel i lands at model channel _LM_TO_MODEL[i].
+_LM_TO_MODEL = np.asarray([0, 40] + list(range(1, 40)), np.int32)
+
+
+def lm_order_to_model_order(logits: np.ndarray) -> np.ndarray:
+    """Inverse of rearrange_speech_logits_pt on the last axis."""
+    out = np.empty_like(logits)
+    out[..., _LM_TO_MODEL] = logits
+    return out
+
+
+@dataclass
+class FinalOutput:
+    """Final decode product (remote_lm_output_final entry equivalent)."""
+
+    sentence: str
+    nbest: List[tuple]  # (sentence, ac, ngram, llm, total)
+    context: str = ""
+    confidence: Optional[float] = None
+
+    def scoring_packed(self) -> str:
+        """';'-joined 5-tuples, the wire format parsed at
+        evaluate_model_helpers.py:251-258."""
+        parts: List[str] = []
+        for s, a, n, l, t in self.nbest:
+            parts.append(";".join(map(str, [s, a, n, l, t])))
+        return ";".join(parts)
+
+    @classmethod
+    def parse_scoring(cls, packed: str) -> "FinalOutput":
+        fields = packed.split(";")
+        rows = [
+            (fields[i], float(fields[i + 1]), float(fields[i + 2]),
+             float(fields[i + 3]), float(fields[i + 4]))
+            for i in range(0, len(fields) - 4, 5)
+        ]
+        rows.sort(key=lambda r: -r[4])
+        # dedupe, keeping the first (best) occurrence
+        seen = set()
+        deduped = []
+        for r in rows:
+            if r[0] not in seen:
+                seen.add(r[0])
+                deduped.append(r)
+        return cls(sentence=deduped[0][0] if deduped else "", nbest=deduped)
+
+
+class DecoderService:
+    """reset / update_params / decode_chunk / finalize over a fused beam search."""
+
+    def __init__(
+        self,
+        lexicon: Lexicon,
+        lm: NGramLM,
+        config: Optional[DecodeConfig] = None,
+        rescore_lm: Optional[NGramLM] = None,
+        llm: Optional[LLMScorer] = None,
+        channel_order: str = "lm",
+    ):
+        if channel_order not in ("lm", "model"):
+            raise ValueError(f"channel_order must be 'lm' or 'model', got {channel_order!r}")
+        self.config = config or DecodeConfig()
+        self.searcher = LexiconBeamSearch(lexicon, lm, self.config)
+        self.rescore_lm = rescore_lm
+        self.llm = llm
+        self.channel_order = channel_order
+        self.context: str = ""
+        self.stats: Dict[str, float] = {}
+
+    # ------------------------------------------------------------- protocol
+    def reset(self) -> None:
+        self.searcher.reset()
+        LOG.info("Reset the language model.")
+
+    def set_context(self, context: str) -> None:
+        """Conversation context prepended for LLM rescoring."""
+        self.context = (context or "").strip()
+
+    def update_params(self, **kwargs: Any) -> Dict[str, Any]:
+        """Update decode options at runtime; unknown keys are rejected.
+        (remote_lm_update_params → SetOpt parity)."""
+        cfg = self.config.replace(**kwargs)
+        self.config = cfg
+        self.searcher.set_opt(cfg)
+        LOG.info(f"Updated language model params: {kwargs}")
+        return cfg.to_dict()
+
+    def decode_chunk(self, logits: np.ndarray) -> str:
+        """Consume a (T, 41) chunk of logits, return the partial sentence."""
+        logits = np.asarray(logits, np.float32).reshape(-1, 41)
+        if self.channel_order == "lm":
+            logits = lm_order_to_model_order(logits)
+        from ..decode.lmbeam import decode_numpy
+
+        decode_numpy(self.searcher, logits)
+        res = self.searcher.result()
+        return res[0].sentence if res else ""
+
+    def finalize(self) -> FinalOutput:
+        cfg = self.config
+        t0 = time.time()
+        results = self.searcher.finish_decoding()
+        nbest = results_to_nbest(results)
+
+        if cfg.rescore and self.rescore_lm is not None and nbest:
+            t = time.time()
+            nbest = rescore_nbest_with_ngram(nbest, self.rescore_lm)
+            self.stats["rescore_time"] = time.time() - t
+            LOG.info("Rescore time: %.3f" % self.stats["rescore_time"])
+
+        if cfg.nbest > 1 and nbest:
+            before = len(nbest)
+            nbest = augment_nbest(
+                nbest,
+                top_candidates_to_augment=cfg.top_candidates_to_augment,
+                acoustic_scale=cfg.acoustic_scale,
+                score_penalty_percent=cfg.score_penalty_percent,
+            )
+            LOG.info(f"Augmented nbest from {before} to {len(nbest)} candidates.")
+
+        if cfg.do_opt and self.llm is not None and nbest:
+            t = time.time()
+            out: RescoreOutput = llm_rescore(
+                self.llm, nbest, cfg.acoustic_scale, cfg.alpha,
+                length_penalty=cfg.length_penalty, context=self.context or None,
+            )
+            self.stats["llm_time"] = time.time() - t
+            LOG.info("LLM rescore time: %.3f" % self.stats["llm_time"])
+            final = FinalOutput(
+                sentence=out.best, nbest=out.nbest,
+                context=self.context, confidence=out.confidence,
+            )
+        elif nbest:
+            rows = [
+                (s.strip(), a, l, 0.0, cfg.acoustic_scale * a + l)
+                for s, a, l in nbest
+            ]
+            final = FinalOutput(sentence=rows[0][0], nbest=rows, context=self.context)
+        else:
+            LOG.error("No output from language model.")
+            final = FinalOutput(sentence="", nbest=[], context=self.context)
+
+        self.stats["finalize_time"] = time.time() - t0
+        LOG.info(f"Final:  {final.sentence}")
+        return final
+
+    # -------------------------------------------------------------- helpers
+    def decode_utterance(self, logits: np.ndarray, chunk: int = 0) -> FinalOutput:
+        """reset → decode (optionally chunked) → finalize in one call."""
+        self.reset()
+        logits = np.asarray(logits, np.float32).reshape(-1, 41)
+        if chunk <= 0:
+            self.decode_chunk(logits)
+        else:
+            for i in range(0, logits.shape[0], chunk):
+                self.decode_chunk(logits[i : i + chunk])
+        return self.finalize()

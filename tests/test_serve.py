@@ -1,0 +1,137 @@
+"""Streaming decode service: protocol verbs, channel order, wire packing."""
+
+import numpy as np
+import pytest
+
+from b2txt_tpu.decode.rescore import NGramLLMAdapter
+from b2txt_tpu.lm import Lexicon, train_ngram
+from b2txt_tpu.serve import DecoderService, FinalOutput, lm_order_to_model_order
+from b2txt_tpu.utils.config import DecodeConfig
+from b2txt_tpu.utils.phonemes import rearrange_speech_logits
+
+LEX = {
+    "the": ["DH", "AH"],
+    "cat": ["K", "AE", "T"],
+    "sat": ["S", "AE", "T"],
+    "mat": ["M", "AE", "T"],
+    "on": ["AA", "N"],
+}
+CORPUS = [
+    "the cat sat on the mat".split(),
+    "the cat sat".split(),
+    "the mat".split(),
+] * 5
+
+
+@pytest.fixture(scope="module")
+def lexicon():
+    return Lexicon.from_words(LEX)
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return train_ngram(CORPUS, order=3)
+
+
+def clean_logits(phoneme_ids, n_classes=41, frames_per=3, hot=6.0):
+    rows = []
+    for pid in phoneme_ids:
+        for _ in range(frames_per):
+            row = np.full(n_classes, -hot, np.float32)
+            row[pid] = hot
+            rows.append(row)
+        blank = np.full(n_classes, -hot, np.float32)
+        blank[0] = hot
+        rows.append(blank)
+    return np.stack(rows)
+
+
+def _service(lexicon, lm, **cfg_kw):
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10, **cfg_kw)
+    return DecoderService(lexicon, lm, cfg, channel_order="lm")
+
+
+def test_channel_order_roundtrip(rng):
+    logits = rng.standard_normal((7, 41)).astype(np.float32)
+    wire = rearrange_speech_logits(logits[None])[0]  # model -> lm order
+    back = lm_order_to_model_order(wire)
+    np.testing.assert_array_equal(back, logits)
+
+
+def test_end_to_end_protocol(lexicon, lm):
+    svc = _service(lexicon, lm)
+    ids = lexicon.sentence_to_phonemes("the cat sat on the mat")
+    logits = clean_logits(ids)
+    wire_logits = rearrange_speech_logits(logits[None])[0]
+
+    svc.reset()
+    partials = []
+    for i in range(0, wire_logits.shape[0], 8):
+        partials.append(svc.decode_chunk(wire_logits[i : i + 8]))
+    final = svc.finalize()
+    assert final.sentence == "the cat sat on the mat"
+    assert partials[-1].startswith("the cat")
+    # 5-tuple wire packing parses back
+    packed = final.scoring_packed()
+    parsed = FinalOutput.parse_scoring(packed)
+    assert parsed.sentence == final.sentence
+    assert len(parsed.nbest) >= 1
+    assert parsed.nbest[0][4] >= parsed.nbest[-1][4]  # sorted by total
+
+
+def test_update_params(lexicon, lm):
+    svc = _service(lexicon, lm)
+    d = svc.update_params(acoustic_scale=0.9, nbest=3)
+    assert d["acoustic_scale"] == 0.9
+    assert svc.searcher.config.nbest == 3
+    with pytest.raises(TypeError):
+        svc.update_params(not_a_param=1)
+
+
+def test_reset_between_utterances(lexicon, lm):
+    svc = _service(lexicon, lm)
+    ids1 = lexicon.sentence_to_phonemes("the cat")
+    ids2 = lexicon.sentence_to_phonemes("the mat")
+    out1 = svc.decode_utterance(
+        rearrange_speech_logits(clean_logits(ids1)[None])[0]
+    )
+    out2 = svc.decode_utterance(
+        rearrange_speech_logits(clean_logits(ids2)[None])[0]
+    )
+    assert out1.sentence == "the cat"
+    assert out2.sentence == "the mat"
+
+
+def test_llm_rescore_path(lexicon, lm):
+    svc = DecoderService(
+        lexicon, lm,
+        DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10,
+                     do_opt=True, alpha=0.5),
+        llm=NGramLLMAdapter(lm), channel_order="model",
+    )
+    ids = lexicon.sentence_to_phonemes("the cat sat")
+    out = svc.decode_utterance(clean_logits(ids))
+    assert out.sentence == "the cat sat"
+    assert out.confidence is not None and out.confidence > 0
+    assert any(row[3] != 0.0 for row in out.nbest)  # llm scores populated
+
+
+def test_ngram_rescore_path(lexicon, lm):
+    big = train_ngram(CORPUS + ["the cat sat on the mat".split()] * 10, order=3)
+    svc = DecoderService(
+        lexicon, lm,
+        DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10, rescore=True),
+        rescore_lm=big, channel_order="model",
+    )
+    ids = lexicon.sentence_to_phonemes("the cat sat")
+    out = svc.decode_utterance(clean_logits(ids))
+    assert out.sentence == "the cat sat"
+    assert "rescore_time" in svc.stats
+
+
+def test_empty_final(lexicon, lm):
+    svc = _service(lexicon, lm)
+    svc.reset()
+    final = svc.finalize()
+    assert final.sentence == ""
+    assert final.nbest == []
