@@ -1,0 +1,488 @@
+"""Lexicon-constrained CTC beam search with n-gram fusion — TPU-resident.
+
+The device-native replacement for the reference's whole C++ decode stack
+(TLG.fst + LatticeFasterOnlineDecoder token passing + lattice n-best): the
+lexicon trie and the n-gram hash tables live in HBM, and each frame expands a
+fixed-width beam of hypotheses in one fused program:
+
+    stay / repeat         (K)        blank or absorbed-repeat emissions
+    extend-phone          (K×V)      trie transitions (L.fst arcs)
+    silence-at-root       (K)        optional-silence arcs
+    close-word            (K×H)      SIL at word-final trie nodes; one
+                                     candidate per homophone with its n-gram
+                                     score added word-synchronously (G.fst)
+
+Candidates sort by 64-bit prefix-identity hash (lax.sort, num_keys=2), merge
+duplicate (phone-prefix, word-decomposition) states with a segmented
+log-sum-exp, and top-K prune — the same sort/merge/top-k machinery as
+prefix_beam_jax. The whole utterance decodes in one lax.scan; backpointers
+(parent, phone, word) stream out for host-side sentence reconstruction.
+
+Score semantics mirror the host LexiconBeamSearch (lmbeam.py): ranking score
+= acoustic_scale·logP + LM contributions; unscaled acoustic and LM components
+are tracked separately for DecodeResult-style (ac_score, lm_score) reporting.
+The host searcher is this module's correctness oracle (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lm.device_ngram import DeviceNGram, hash_extend_jnp
+from ..lm.lexicon import Lexicon
+from ..lm.ngram import BOS, EOS, NGramLM
+from ..utils.config import DecodeConfig
+from ..utils.phonemes import BLANK_ID, SIL_ID_MODEL
+from .lmbeam import DecodeResult
+
+NEG = -1.0e30
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG)
+    out = m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe))
+    return jnp.where(m <= NEG, NEG, out)
+
+
+def _seg_scan(op_values, starts):
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, _logaddexp(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(op, (op_values, starts))
+    return out
+
+
+def _seg_max(values, starts):
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(op, (values, starts))
+    return out
+
+
+class LmBeamState(NamedTuple):
+    h1: jax.Array     # (K,) uint32 prefix-identity hash
+    h2: jax.Array     # (K,)
+    node: jax.Array   # (K,) int32 trie node
+    last: jax.Array   # (K,) int32 last emitted phone (-1 none)
+    ctx: jax.Array    # (K, order-1) int32 LM context, -1 left-padded
+    s: jax.Array      # (K,) ranking score, blank-ending
+    ns: jax.Array     # (K,) ranking score, non-blank-ending
+    ac_s: jax.Array   # (K,) unscaled acoustic (viterbi), blank-ending
+    ac_ns: jax.Array  # (K,)
+    lm: jax.Array     # (K,) accumulated LM score
+
+
+@dataclass
+class TrieArrays:
+    next: jax.Array       # (n_nodes, V) int32
+    words_at: jax.Array   # (n_nodes, H) int32, -1 padded
+    n_dropped: int
+
+    @classmethod
+    def build(cls, lexicon: Lexicon, max_homophones: int) -> "TrieArrays":
+        n_nodes = lexicon.n_nodes
+        words_at = np.full((n_nodes, max_homophones), -1, np.int32)
+        dropped = 0
+        for node in range(n_nodes):
+            ws = lexicon.node_words(node)
+            for j, w in enumerate(ws[:max_homophones]):
+                words_at[node, j] = w
+            dropped += max(0, len(ws) - max_homophones)
+        return cls(
+            next=jnp.asarray(lexicon.next),
+            words_at=jnp.asarray(words_at),
+            n_dropped=dropped,
+        )
+
+
+class DeviceLexiconBeamSearch:
+    """Stateful streaming decoder with the reset/decode/finalize protocol,
+    running the search itself on device."""
+
+    def __init__(
+        self,
+        lexicon: Lexicon,
+        lm: NGramLM,
+        config: Optional[DecodeConfig] = None,
+        blank: int = BLANK_ID,
+        sil: int = SIL_ID_MODEL,
+        max_homophones: int = 4,
+    ):
+        self.lexicon = lexicon
+        self.config = config or DecodeConfig()
+        self.blank = blank
+        self.sil = sil
+        self.H = max_homophones
+        self.trie = TrieArrays.build(lexicon, max_homophones)
+        self.dev_lm = DeviceNGram.build(lm, lexicon)
+        self.order = self.dev_lm.order
+        self._scan = self._build_scan()
+        self._finalize_fn = self._build_finalize()
+        self.reset()
+
+    # ---------------------------------------------------------------- state
+    def set_opt(self, config: DecodeConfig) -> None:
+        self.config = config
+
+    def reset(self) -> None:
+        K = self.config.beam_width
+        k = jnp.arange(K, dtype=jnp.uint32)
+        ctx = np.full((K, max(self.order - 1, 1)), -1, np.int32)
+        ctx[:, -1] = self.dev_lm.bos_id
+        self.state = LmBeamState(
+            h1=jnp.where(k == 0, jnp.uint32(0x811C9DC5), jnp.uint32(0x80000000) | k),
+            h2=jnp.where(k == 0, jnp.uint32(0x01000193), jnp.uint32(0x40000000) | k),
+            node=jnp.zeros((K,), jnp.int32),
+            last=jnp.full((K,), -1, jnp.int32),
+            ctx=jnp.asarray(ctx),
+            s=jnp.where(jnp.arange(K) == 0, 0.0, NEG).astype(jnp.float32),
+            ns=jnp.full((K,), NEG, jnp.float32),
+            ac_s=jnp.where(jnp.arange(K) == 0, 0.0, NEG).astype(jnp.float32),
+            ac_ns=jnp.full((K,), NEG, jnp.float32),
+            lm=jnp.zeros((K,), jnp.float32),
+        )
+        self.records: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.n_frames = 0
+        self._final_cache = None
+
+    # ------------------------------------------------------------ expansion
+    def _expand(self, state: LmBeamState, lp: jax.Array, scale: float,
+                length_penalty: float):
+        K = state.s.shape[0]
+        V = lp.shape[0]
+        H = self.H
+        CW = state.ctx.shape[1]
+        blank, sil = self.blank, self.sil
+        score = _logaddexp(state.s, state.ns)
+        ac = _logaddexp(state.ac_s, state.ac_ns)
+
+        arangeK = jnp.arange(K, dtype=jnp.int32)
+        lp_last = jnp.where(state.last >= 0, lp[jnp.clip(state.last, 0, V - 1)], NEG)
+
+        def full(v, shape=(K,)):
+            return jnp.full(shape, v)
+
+        # ---- 1. stay: blank emission (s-path) + absorbed repeat (ns-path)
+        stay = dict(
+            h1=state.h1, h2=state.h2, node=state.node, last=state.last,
+            ctx=state.ctx,
+            s=score + scale * lp[blank],
+            ns=jnp.where(state.last >= 0, state.ns + scale * lp_last, NEG),
+            ac_s=ac + lp[blank],
+            ac_ns=jnp.where(state.last >= 0, state.ac_ns + lp_last, NEG),
+            lm=state.lm,
+            parent=arangeK, sym=full(-1, (K,)).astype(jnp.int32),
+            word=full(-1, (K,)).astype(jnp.int32),
+        )
+
+        # ---- 2. extend with phone c (non-blank, non-SIL)
+        c = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (K, V))
+        child = self.trie.next[state.node]            # (K, V)
+        is_rep = c == state.last[:, None]
+        base = jnp.where(is_rep, state.s[:, None], score[:, None])
+        ac_base = jnp.where(is_rep, state.ac_s[:, None], ac[:, None])
+        phone_ok = (c != blank) & (c != sil) & (child >= 0)
+        eh1, eh2 = hash_extend_jnp(state.h1[:, None], state.h2[:, None], c)
+        ext = dict(
+            h1=eh1, h2=eh2, node=jnp.maximum(child, 0), last=c,
+            ctx=jnp.broadcast_to(state.ctx[:, None, :], (K, V, CW)),
+            s=jnp.full((K, V), NEG),
+            ns=jnp.where(phone_ok, base + scale * lp[None, :], NEG),
+            ac_s=jnp.full((K, V), NEG),
+            ac_ns=jnp.where(phone_ok, ac_base + lp[None, :], NEG),
+            lm=jnp.broadcast_to(state.lm[:, None], (K, V)),
+            parent=jnp.broadcast_to(arangeK[:, None], (K, V)),
+            sym=jnp.where(phone_ok, c, -1),
+            word=jnp.full((K, V), -1, jnp.int32),
+        )
+
+        # ---- 3. SIL at root: extra/leading silence
+        sil_base = jnp.where(state.last == sil, state.s, score)
+        sil_ac_base = jnp.where(state.last == sil, state.ac_s, ac)
+        at_root = state.node == 0
+        sh1, sh2 = hash_extend_jnp(state.h1, state.h2, jnp.int32(sil))
+        silroot = dict(
+            h1=sh1, h2=sh2, node=jnp.zeros((K,), jnp.int32),
+            last=full(sil, (K,)).astype(jnp.int32), ctx=state.ctx,
+            s=jnp.full((K,), NEG),
+            ns=jnp.where(at_root, sil_base + scale * lp[sil], NEG),
+            ac_s=jnp.full((K,), NEG),
+            ac_ns=jnp.where(at_root, sil_ac_base + lp[sil], NEG),
+            lm=state.lm,
+            parent=arangeK, sym=jnp.where(at_root, sil, -1).astype(jnp.int32),
+            word=full(-1, (K,)).astype(jnp.int32),
+        )
+
+        # ---- 4. close word(s): SIL at word-final node, n-gram scored
+        wids = self.trie.words_at[state.node]         # (K, H)
+        w_ok = wids >= 0
+        wlp = jax.vmap(jax.vmap(self.dev_lm.logp, in_axes=(None, 0)), in_axes=(0, 0))(
+            state.ctx, jnp.maximum(wids, 0)
+        )                                             # (K, H)
+        wlp = wlp + length_penalty
+        new_ctx = jnp.concatenate(
+            [
+                jnp.broadcast_to(state.ctx[:, None, 1:], (K, H, CW - 1)),
+                jnp.maximum(wids, 0)[:, :, None],
+            ],
+            axis=2,
+        ) if CW > 1 else jnp.maximum(wids, 0)[:, :, None] * 0 - 1
+        if CW == 1 and self.order > 1:
+            new_ctx = jnp.maximum(wids, 0)[:, :, None]
+        ch1, ch2 = hash_extend_jnp(sh1[:, None], sh2[:, None], wids + V)
+        close = dict(
+            h1=ch1, h2=ch2, node=jnp.zeros((K, H), jnp.int32),
+            last=jnp.full((K, H), sil, jnp.int32),
+            ctx=new_ctx,
+            s=jnp.full((K, H), NEG),
+            ns=jnp.where(w_ok, sil_base[:, None] + scale * lp[sil] + wlp, NEG),
+            ac_s=jnp.full((K, H), NEG),
+            ac_ns=jnp.where(w_ok, sil_ac_base[:, None] + lp[sil], NEG),
+            lm=jnp.where(w_ok, state.lm[:, None] + wlp, state.lm[:, None]),
+            parent=jnp.broadcast_to(arangeK[:, None], (K, H)),
+            sym=jnp.where(w_ok, sil, -1),
+            word=jnp.where(w_ok, wids, -1),
+        )
+
+        def flat(d):
+            out = {}
+            for key, v in d.items():
+                if key == "ctx":
+                    out[key] = v.reshape(-1, CW)
+                else:
+                    out[key] = v.reshape(-1)
+            return out
+
+        parts = [flat(stay), flat(ext), flat(silroot), flat(close)]
+        cand = {
+            key: jnp.concatenate([p[key] for p in parts], axis=0)
+            for key in parts[0]
+        }
+
+        # ---- dedupe + merge + prune
+        N = cand["h1"].shape[0]
+        operands = (
+            cand["h1"], cand["h2"], cand["s"], cand["ns"],
+            cand["ac_s"], cand["ac_ns"], cand["lm"],
+            cand["node"], cand["last"], cand["parent"], cand["sym"], cand["word"],
+        ) + tuple(cand["ctx"][:, i] for i in range(CW))
+        sorted_ops = jax.lax.sort(operands, num_keys=2)
+        (h1s, h2s, ss, nss, acss, acnss, lms, nodes, lasts, parents, syms,
+         words) = sorted_ops[:12]
+        ctxs = jnp.stack(sorted_ops[12:], axis=1)
+
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        s_tot = _seg_scan(ss, starts)
+        ns_tot = _seg_scan(nss, starts)
+        ac_s_tot = _seg_max(acss, starts)
+        ac_ns_tot = _seg_max(acnss, starts)
+        seg_end = jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
+        total = jnp.where(seg_end, _logaddexp(s_tot, ns_tot), -jnp.inf)
+
+        K_out = K
+        top_total, top_idx = jax.lax.top_k(total, K_out)
+        valid = top_total > -jnp.inf
+        new_state = LmBeamState(
+            h1=h1s[top_idx], h2=h2s[top_idx],
+            node=nodes[top_idx], last=lasts[top_idx],
+            ctx=ctxs[top_idx],
+            s=jnp.where(valid, s_tot[top_idx], NEG),
+            ns=jnp.where(valid, ns_tot[top_idx], NEG),
+            ac_s=jnp.where(valid, ac_s_tot[top_idx], NEG),
+            ac_ns=jnp.where(valid, ac_ns_tot[top_idx], NEG),
+            lm=lms[top_idx],
+        )
+        return new_state, parents[top_idx], syms[top_idx], words[top_idx]
+
+    # ----------------------------------------------------------------- scan
+    def _build_scan(self):
+        @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
+                                                     "log_blank_penalty",
+                                                     "blank_skip_thresh"))
+        def scan_chunk(state, lp_chunk, scale: float, length_penalty: float,
+                       log_blank_penalty: float, blank_skip_thresh: float):
+            if log_blank_penalty != 0.0:
+                lp_chunk = lp_chunk.at[:, self.blank].add(-log_blank_penalty)
+
+            use_skip = blank_skip_thresh < 1.0
+            if use_skip:
+                skip = jnp.exp(lp_chunk[:, self.blank]) > blank_skip_thresh
+                prev_skip = jnp.concatenate([jnp.zeros((1,), bool), skip[:-1]])
+                reinsert = prev_skip & ~skip
+                blank_row = jnp.full((lp_chunk.shape[1],), -30.0)
+                blank_row = blank_row.at[self.blank].set(0.0)
+
+            def step(state, inputs):
+                if use_skip:
+                    lp, do_skip, do_reinsert = inputs
+                    st_b, pb, sb, wb = self._expand(
+                        state, blank_row, scale, length_penalty
+                    )
+                    state = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(
+                            jnp.reshape(do_reinsert, (-1,) + (1,) * (n.ndim - 1)), n, o
+                        ) if n.ndim else jnp.where(do_reinsert, n, o),
+                        st_b, state,
+                    )
+                else:
+                    lp, do_skip = inputs[0], None
+                new_state, parents, syms, words = self._expand(
+                    state, lp, scale, length_penalty
+                )
+                if use_skip:
+                    keepmask = ~do_skip
+                    new_state = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(
+                            jnp.reshape(keepmask, (-1,) + (1,) * (n.ndim - 1)), n, o
+                        ) if n.ndim else jnp.where(keepmask, n, o),
+                        new_state, state,
+                    )
+                    K = parents.shape[0]
+                    parents = jnp.where(do_skip, jnp.arange(K, dtype=jnp.int32), parents)
+                    syms = jnp.where(do_skip, -1, syms)
+                    words = jnp.where(do_skip, -1, words)
+                return new_state, (parents, syms, words)
+
+            xs = (lp_chunk, skip, reinsert) if use_skip else (lp_chunk,)
+            state, recs = jax.lax.scan(step, state, xs)
+            return state, recs
+
+        return scan_chunk
+
+    def _build_finalize(self):
+        @jax.jit
+        def finalize(state: LmBeamState):
+            """Close open words (no acoustic cost) + </s>; returns per-
+            candidate scores over (K, H+1) [slot H = already-at-root]."""
+            K, H = state.node.shape[0], self.H
+            CW = state.ctx.shape[1]
+            wids = self.trie.words_at[state.node]      # (K, H)
+            w_ok = wids >= 0
+            wlp = jax.vmap(jax.vmap(self.dev_lm.logp, in_axes=(None, 0)),
+                           in_axes=(0, 0))(state.ctx, jnp.maximum(wids, 0))
+            new_ctx = jnp.concatenate(
+                [jnp.broadcast_to(state.ctx[:, None, 1:], (K, H, CW - 1)),
+                 jnp.maximum(wids, 0)[:, :, None]], axis=2
+            ) if CW > 1 else jnp.maximum(wids, 0)[:, :, None]
+            eos = jnp.asarray(self.dev_lm.eos_id, jnp.int32)
+            eos_close = jax.vmap(jax.vmap(self.dev_lm.logp, in_axes=(0, None)),
+                                 in_axes=(0, None))(new_ctx, eos)   # (K, H)
+            eos_root = jax.vmap(self.dev_lm.logp, in_axes=(0, None))(
+                state.ctx, eos
+            )                                                       # (K,)
+
+            score = _logaddexp(state.s, state.ns)
+            at_root = state.node == 0
+            close_score = jnp.where(
+                w_ok & ~at_root[:, None], score[:, None] + wlp + eos_close, -jnp.inf
+            )
+            root_score = jnp.where(at_root, score + eos_root, -jnp.inf)
+            all_scores = jnp.concatenate([close_score, root_score[:, None]], axis=1)
+            all_words = jnp.concatenate(
+                [jnp.where(w_ok, wids, -1), jnp.full((K, 1), -1, jnp.int32)], axis=1
+            )
+            all_lm = jnp.concatenate(
+                [jnp.where(w_ok, state.lm[:, None] + wlp + eos_close, 0.0),
+                 (state.lm + eos_root)[:, None]], axis=1
+            )
+            ac = _logaddexp(state.ac_s, state.ac_ns)
+            all_ac = jnp.broadcast_to(ac[:, None], (K, H + 1))
+            return all_scores, all_words, all_lm, all_ac
+
+        return finalize
+
+    # ------------------------------------------------------------- protocol
+    def decode(self, log_probs: np.ndarray) -> None:
+        """Advance over a (T, 41) chunk of log-probs (model channel order)."""
+        cfg = self.config
+        lp = jnp.asarray(log_probs, jnp.float32)
+        self.state, recs = self._scan(
+            self.state, lp,
+            scale=float(cfg.acoustic_scale),
+            length_penalty=float(cfg.length_penalty),
+            log_blank_penalty=float(math.log(cfg.blank_penalty)),
+            blank_skip_thresh=float(cfg.ctc_blank_skip_threshold),
+        )
+        self.records.append(tuple(np.asarray(r) for r in recs))
+        self.n_frames += lp.shape[0]
+        self._final_cache = None
+
+    def decoded_something(self) -> bool:
+        return self.n_frames > 0
+
+    def _backtrace_words(self, beam: int) -> List[int]:
+        words: List[int] = []
+        k = beam
+        for parents, syms, wrec in reversed(self.records):
+            for t in range(parents.shape[0] - 1, -1, -1):
+                w = wrec[t, k]
+                if w >= 0:
+                    words.append(int(w))
+                k = int(parents[t, k])
+        words.reverse()
+        return words
+
+    def finish_decoding(self) -> List[DecodeResult]:
+        cfg = self.config
+        scores, fwords, lms, acs = (np.asarray(x) for x in self._finalize_fn(self.state))
+        flat = scores.reshape(-1)
+        order = np.argsort(-flat)
+        results: List[DecodeResult] = []
+        seen = set()
+        H1 = scores.shape[1]
+        for idx in order:
+            if len(results) >= cfg.nbest or not np.isfinite(flat[idx]):
+                break
+            k, j = divmod(int(idx), H1)
+            words = self._backtrace_words(k)
+            if fwords[k, j] >= 0:
+                words = words + [int(fwords[k, j])]
+            if not words:
+                continue
+            sentence = " ".join(self.lexicon.words[w] for w in words)
+            if sentence in seen:
+                continue
+            seen.add(sentence)
+            results.append(
+                DecodeResult(
+                    sentence=sentence,
+                    ac_score=float(acs[k, j]),
+                    lm_score=float(lms[k, j]),
+                )
+            )
+        self._final_cache = results
+        return results
+
+    def result(self) -> List[DecodeResult]:
+        if self._final_cache is not None:
+            return self._final_cache
+        if self.n_frames == 0:
+            return []
+        score = np.asarray(_logaddexp(self.state.s, self.state.ns))
+        k = int(np.argmax(score))
+        words = self._backtrace_words(k)
+        if not np.isfinite(score[k]):
+            return []
+        sentence = " ".join(self.lexicon.words[w] for w in words)
+        return [
+            DecodeResult(
+                sentence=sentence,
+                ac_score=float(np.asarray(_logaddexp(self.state.ac_s, self.state.ac_ns))[k]),
+                lm_score=float(np.asarray(self.state.lm)[k]),
+            )
+        ]
