@@ -33,7 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..lm.lexicon import Lexicon
-from ..lm.ngram import EOS, NGramLM
+from ..lm.ngram import BOS, EOS, NGramLM
 from ..utils.config import DecodeConfig
 from ..utils.phonemes import BLANK_ID, SIL_ID_MODEL
 
@@ -142,7 +142,9 @@ class LexiconBeamSearch:
         # lm equal by construction for identical word history
 
     def _lm_context(self, words: Tuple[int, ...]) -> List[str]:
-        return [self.lexicon.words[w] for w in words]
+        # Sentence-start conditioning: G.fst decoding starts in the <s>
+        # context state, so the first word scores as P(w | <s>).
+        return [BOS] + [self.lexicon.words[w] for w in words]
 
     def _step(self, lp: np.ndarray) -> None:
         cfg = self.config

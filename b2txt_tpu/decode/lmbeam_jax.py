@@ -73,7 +73,7 @@ def _seg_max(values, starts):
 
 
 class LmBeamState(NamedTuple):
-    h1: jax.Array     # (K,) uint32 prefix-identity hash
+    h1: jax.Array     # (K,) uint32 word-history hash (chained over closed words)
     h2: jax.Array     # (K,)
     node: jax.Array   # (K,) int32 trie node
     last: jax.Array   # (K,) int32 last emitted phone (-1 none)
@@ -175,8 +175,17 @@ class DeviceLexiconBeamSearch:
         def full(v, shape=(K,)):
             return jnp.full(shape, v)
 
+        def sort_keys(wh1, wh2, node, last):
+            """Merge identity = (word history, trie node, last phone) — the
+            word-lattice state space of the reference's TLG decoding; silence
+            repetitions and alignment variants collapse into one hypothesis."""
+            code = (node * (V + 2) + last + 2).astype(jnp.int32)
+            return hash_extend_jnp(wh1, wh2, code)
+
         # ---- 1. stay: blank emission (s-path) + absorbed repeat (ns-path)
+        k1, k2 = sort_keys(state.h1, state.h2, state.node, state.last)
         stay = dict(
+            k1=k1, k2=k2,
             h1=state.h1, h2=state.h2, node=state.node, last=state.last,
             ctx=state.ctx,
             s=score + scale * lp[blank],
@@ -195,9 +204,14 @@ class DeviceLexiconBeamSearch:
         base = jnp.where(is_rep, state.s[:, None], score[:, None])
         ac_base = jnp.where(is_rep, state.ac_s[:, None], ac[:, None])
         phone_ok = (c != blank) & (c != sil) & (child >= 0)
-        eh1, eh2 = hash_extend_jnp(state.h1[:, None], state.h2[:, None], c)
+        ek1, ek2 = sort_keys(
+            state.h1[:, None], state.h2[:, None], jnp.maximum(child, 0), c
+        )
         ext = dict(
-            h1=eh1, h2=eh2, node=jnp.maximum(child, 0), last=c,
+            k1=ek1, k2=ek2,
+            h1=jnp.broadcast_to(state.h1[:, None], (K, V)),
+            h2=jnp.broadcast_to(state.h2[:, None], (K, V)),
+            node=jnp.maximum(child, 0), last=c,
             ctx=jnp.broadcast_to(state.ctx[:, None, :], (K, V, CW)),
             s=jnp.full((K, V), NEG),
             ns=jnp.where(phone_ok, base + scale * lp[None, :], NEG),
@@ -213,9 +227,12 @@ class DeviceLexiconBeamSearch:
         sil_base = jnp.where(state.last == sil, state.s, score)
         sil_ac_base = jnp.where(state.last == sil, state.ac_s, ac)
         at_root = state.node == 0
-        sh1, sh2 = hash_extend_jnp(state.h1, state.h2, jnp.int32(sil))
+        rk1, rk2 = sort_keys(
+            state.h1, state.h2, jnp.zeros((K,), jnp.int32), jnp.int32(sil)
+        )
         silroot = dict(
-            h1=sh1, h2=sh2, node=jnp.zeros((K,), jnp.int32),
+            k1=rk1, k2=rk2,
+            h1=state.h1, h2=state.h2, node=jnp.zeros((K,), jnp.int32),
             last=full(sil, (K,)).astype(jnp.int32), ctx=state.ctx,
             s=jnp.full((K,), NEG),
             ns=jnp.where(at_root, sil_base + scale * lp[sil], NEG),
@@ -239,12 +256,16 @@ class DeviceLexiconBeamSearch:
                 jnp.maximum(wids, 0)[:, :, None],
             ],
             axis=2,
-        ) if CW > 1 else jnp.maximum(wids, 0)[:, :, None] * 0 - 1
-        if CW == 1 and self.order > 1:
-            new_ctx = jnp.maximum(wids, 0)[:, :, None]
-        ch1, ch2 = hash_extend_jnp(sh1[:, None], sh2[:, None], wids + V)
+        ) if CW > 1 else jnp.maximum(wids, 0)[:, :, None]
+        wh1, wh2 = hash_extend_jnp(
+            state.h1[:, None], state.h2[:, None], wids + V + 2
+        )
+        ck1, ck2 = sort_keys(
+            wh1, wh2, jnp.zeros((K, H), jnp.int32), jnp.int32(sil)
+        )
         close = dict(
-            h1=ch1, h2=ch2, node=jnp.zeros((K, H), jnp.int32),
+            k1=ck1, k2=ck2,
+            h1=wh1, h2=wh2, node=jnp.zeros((K, H), jnp.int32),
             last=jnp.full((K, H), sil, jnp.int32),
             ctx=new_ctx,
             s=jnp.full((K, H), NEG),
@@ -273,19 +294,18 @@ class DeviceLexiconBeamSearch:
         }
 
         # ---- dedupe + merge + prune
-        N = cand["h1"].shape[0]
         operands = (
-            cand["h1"], cand["h2"], cand["s"], cand["ns"],
+            cand["k1"], cand["k2"], cand["h1"], cand["h2"], cand["s"], cand["ns"],
             cand["ac_s"], cand["ac_ns"], cand["lm"],
             cand["node"], cand["last"], cand["parent"], cand["sym"], cand["word"],
         ) + tuple(cand["ctx"][:, i] for i in range(CW))
         sorted_ops = jax.lax.sort(operands, num_keys=2)
-        (h1s, h2s, ss, nss, acss, acnss, lms, nodes, lasts, parents, syms,
-         words) = sorted_ops[:12]
-        ctxs = jnp.stack(sorted_ops[12:], axis=1)
+        (k1s, k2s, h1s, h2s, ss, nss, acss, acnss, lms, nodes, lasts, parents,
+         syms, words) = sorted_ops[:14]
+        ctxs = jnp.stack(sorted_ops[14:], axis=1)
 
         starts = jnp.concatenate(
-            [jnp.ones((1,), bool), (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+            [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
         )
         s_tot = _seg_scan(ss, starts)
         ns_tot = _seg_scan(nss, starts)
