@@ -170,6 +170,7 @@ def forward(
     patch_stride: int = 4,
     compute_dtype=jnp.float32,
     skip_day_layer: bool = False,
+    use_pallas: bool = False,
 ):
     """Forward pass. x: (B, T, D) features, day_idx: (B,) int day indices.
 
@@ -211,7 +212,25 @@ def forward(
 
     finals = []
     for l, layer in enumerate(params["layers"]):
-        x, h_l = _gru_layer(x, h[l], layer, compute_dtype)
+        if use_pallas and not training:
+            from ..ops.pallas.gru import gru_layer_pallas
+
+            x_proj = (
+                jnp.einsum(
+                    "bti,gi->btg", x.astype(compute_dtype),
+                    layer["w_ih"].astype(compute_dtype),
+                    preferred_element_type=compute_dtype,
+                )
+                + layer["b_ih"].astype(compute_dtype)
+            )
+            x, h_l = gru_layer_pallas(
+                x_proj,
+                layer["w_hh"].astype(compute_dtype),
+                layer["b_hh"].astype(compute_dtype),
+                h[l],
+            )
+        else:
+            x, h_l = _gru_layer(x, h[l], layer, compute_dtype)
         finals.append(h_l)
         # Inter-layer dropout (not after the last layer), torch nn.GRU semantics.
         if training and rnn_dropout > 0 and l < n_layers - 1:
