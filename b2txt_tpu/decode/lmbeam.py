@@ -100,6 +100,7 @@ class LexiconBeamSearch:
         sil: int = SIL_ID_MODEL,
         sum_mode: bool = True,
         max_homophones: int = 4,
+        lm_lookahead: bool = True,
     ):
         self.lexicon = lexicon
         self.lm = lm
@@ -108,7 +109,15 @@ class LexiconBeamSearch:
         self.sil = sil
         self.sum_mode = sum_mode
         self.max_homophones = max_homophones
-        # word-id -> word string; LM context uses word strings
+        # LM lookahead smearing over the trie: partial words carry the best
+        # reachable unigram score so they compete fairly with closed words
+        # (cancels exactly at word close — net final scores are unchanged).
+        if lm_lookahead:
+            self.la = lexicon.lookahead_scores(lambda w: lm.logp([], w))
+        else:
+            import numpy as _np
+
+            self.la = _np.zeros(lexicon.n_nodes, _np.float32)
         self.reset()
 
     def set_opt(self, config: DecodeConfig) -> None:
@@ -194,11 +203,14 @@ class LexiconBeamSearch:
                     for wid in wlist[: self.max_homophones]:
                         wlp = self.lm.logp(ctx, self.lexicon.words[wid])
                         lm_add = wlp + cfg.length_penalty
+                        # swap this word's lookahead for its true LM score,
+                        # re-enter the root lookahead for the next word
+                        la_adj = float(self.la[0]) - float(self.la[node])
                         self._merge(
                             next_hyps,
                             LmHyp(words + (wid,), 0, self.sil,
                                   s=NEG_INF,
-                                  ns=base + scale * lc + lm_add,
+                                  ns=base + scale * lc + lm_add + la_adj,
                                   ac_s=NEG_INF, ac_ns=ac_base + lc,
                                   lm=h.lm + lm_add),
                         )
@@ -206,10 +218,11 @@ class LexiconBeamSearch:
                     child = int(self.lexicon.next[node, c])
                     if child < 0:
                         continue
+                    la_adj = float(self.la[child]) - float(self.la[node])
                     self._merge(
                         next_hyps,
                         LmHyp(words, child, c,
-                              s=NEG_INF, ns=base + scale * lc,
+                              s=NEG_INF, ns=base + scale * lc + la_adj,
                               ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm),
                     )
 
@@ -265,10 +278,13 @@ class LexiconBeamSearch:
                 ctx = self._lm_context(words)
                 for wid in self.lexicon.node_words(node)[: self.max_homophones]:
                     wlp = self.lm.logp(ctx, self.lexicon.words[wid]) + cfg.length_penalty
+                    # same lookahead cancellation as in-search word closes, so
+                    # final candidates all share the root-lookahead offset
+                    adj = wlp + float(self.la[0]) - float(self.la[node])
                     candidates.append(
                         replace(h, words=words + (wid,), node=0,
-                                s=(h.s + wlp if h.s != NEG_INF else NEG_INF),
-                                ns=(h.ns + wlp if h.ns != NEG_INF else NEG_INF),
+                                s=(h.s + adj if h.s != NEG_INF else NEG_INF),
+                                ns=(h.ns + adj if h.ns != NEG_INF else NEG_INF),
                                 lm=h.lm + wlp)
                     )
             for cand in candidates:

@@ -128,6 +128,11 @@ class DeviceLexiconBeamSearch:
         self.H = max_homophones
         self.trie = TrieArrays.build(lexicon, max_homophones)
         self.dev_lm = DeviceNGram.build(lm, lexicon)
+        # LM lookahead smearing over the trie (see lmbeam.py) — ranking only,
+        # cancels at word close.
+        self.la = jnp.asarray(
+            lexicon.lookahead_scores(lambda w: lm.logp([], w))
+        )
         self.order = self.dev_lm.order
         self._scan = self._build_scan()
         self._finalize_fn = self._build_finalize()
@@ -207,6 +212,8 @@ class DeviceLexiconBeamSearch:
         ek1, ek2 = sort_keys(
             state.h1[:, None], state.h2[:, None], jnp.maximum(child, 0), c
         )
+        la_node = self.la[state.node]                 # (K,)
+        la_delta = self.la[jnp.maximum(child, 0)] - la_node[:, None]
         ext = dict(
             k1=ek1, k2=ek2,
             h1=jnp.broadcast_to(state.h1[:, None], (K, V)),
@@ -214,7 +221,7 @@ class DeviceLexiconBeamSearch:
             node=jnp.maximum(child, 0), last=c,
             ctx=jnp.broadcast_to(state.ctx[:, None, :], (K, V, CW)),
             s=jnp.full((K, V), NEG),
-            ns=jnp.where(phone_ok, base + scale * lp[None, :], NEG),
+            ns=jnp.where(phone_ok, base + scale * lp[None, :] + la_delta, NEG),
             ac_s=jnp.full((K, V), NEG),
             ac_ns=jnp.where(phone_ok, ac_base + lp[None, :], NEG),
             lm=jnp.broadcast_to(state.lm[:, None], (K, V)),
@@ -263,13 +270,16 @@ class DeviceLexiconBeamSearch:
         ck1, ck2 = sort_keys(
             wh1, wh2, jnp.zeros((K, H), jnp.int32), jnp.int32(sil)
         )
+        la_close = self.la[0] - la_node[:, None]      # (K, 1) broadcast
         close = dict(
             k1=ck1, k2=ck2,
             h1=wh1, h2=wh2, node=jnp.zeros((K, H), jnp.int32),
             last=jnp.full((K, H), sil, jnp.int32),
             ctx=new_ctx,
             s=jnp.full((K, H), NEG),
-            ns=jnp.where(w_ok, sil_base[:, None] + scale * lp[sil] + wlp, NEG),
+            ns=jnp.where(
+                w_ok, sil_base[:, None] + scale * lp[sil] + wlp + la_close, NEG
+            ),
             ac_s=jnp.full((K, H), NEG),
             ac_ns=jnp.where(w_ok, sil_ac_base[:, None] + lp[sil], NEG),
             lm=jnp.where(w_ok, state.lm[:, None] + wlp, state.lm[:, None]),
@@ -408,8 +418,10 @@ class DeviceLexiconBeamSearch:
 
             score = _logaddexp(state.s, state.ns)
             at_root = state.node == 0
+            la_adj = (self.la[0] - self.la[state.node])[:, None]
             close_score = jnp.where(
-                w_ok & ~at_root[:, None], score[:, None] + wlp + eos_close, -jnp.inf
+                w_ok & ~at_root[:, None],
+                score[:, None] + wlp + la_adj + eos_close, -jnp.inf,
             )
             root_score = jnp.where(at_root, score + eos_root, -jnp.inf)
             all_scores = jnp.concatenate([close_score, root_score[:, None]], axis=1)

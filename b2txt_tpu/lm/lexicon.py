@@ -157,6 +157,27 @@ class Lexicon:
                 norm[w.lower()] = [strip_stress(x) for x in p]  # type: ignore[union-attr]
         return cls.build(norm)
 
+    def lookahead_scores(self, unigram_logp) -> np.ndarray:
+        """Per-node LM lookahead: la[node] = best unigram log-prob of any word
+        reachable at/below the node (the weight-pushing of G scores along L
+        arcs that TLG composition performs in the reference — without it,
+        partial-word hypotheses ride free of LM cost and flood the beam).
+
+        ``unigram_logp``: callable word-string → log P(word).
+        """
+        la = np.full(self.n_nodes, -np.inf, np.float64)
+        # children lists for bottom-up pass: nodes are created in insertion
+        # order (parent before child), so a reverse sweep is bottom-up.
+        for node in range(self.n_nodes - 1, -1, -1):
+            best = -np.inf
+            for wid in self.node_words(node):
+                best = max(best, float(unigram_logp(self.words[wid])))
+            children = self.next[node]
+            for child in children[children >= 0]:
+                best = max(best, la[child])
+            la[node] = best
+        return la.astype(np.float32)
+
     def sentence_to_phonemes(self, sentence: str) -> Optional[List[int]]:
         """Lexicon-based text→phoneme-ids with SIL after each word
         (the in-vocabulary replacement for g2p_en at general_utils.py:51-74;

@@ -307,7 +307,20 @@ struct Decoder {
     }
   };
 
+  std::vector<double> la;  // per-node LM lookahead (best reachable unigram)
+
   explicit Decoder(const NGramLM* lm_, const Lexicon* lex_) : lm(lm_), lex(lex_) {
+    // Bottom-up lookahead smearing (nodes are created parent-before-child).
+    int n_nodes = static_cast<int>(lex->next.size());
+    la.assign(n_nodes, kNegInf);
+    for (int node = n_nodes - 1; node >= 0; --node) {
+      double best = kNegInf;
+      for (int w : lex->words_at[node])
+        best = std::max(best, static_cast<double>(lm->LogP(nullptr, 0, w)));
+      for (int child : lex->next[node])
+        if (child >= 0) best = std::max(best, la[child]);
+      la[node] = best;
+    }
     Reset();
   }
 
@@ -402,14 +415,17 @@ struct Decoder {
               double wlp =
                   lm->LogP(ctx, ctx_len, ws[j]) + opts.length_penalty;
               int wn = ArenaNode(ws[j], h.word_node);
-              merge(wn, 0, sil, kNegInf, base + scale * lc + wlp, kNegInf,
-                    ac_base + lc, h.lm_score + wlp);
+              // swap lookahead for the true LM score; re-enter root lookahead
+              double la_adj = la[0] - la[h.node];
+              merge(wn, 0, sil, kNegInf, base + scale * lc + wlp + la_adj,
+                    kNegInf, ac_base + lc, h.lm_score + wlp);
             }
           }
         } else {
           int child = lex->next[h.node][c];
           if (child < 0) continue;
-          merge(h.word_node, child, c, kNegInf, base + scale * lc, kNegInf,
+          merge(h.word_node, child, c, kNegInf,
+                base + scale * lc + (la[child] - la[h.node]), kNegInf,
                 ac_base + lc, h.lm_score);
         }
       }
@@ -514,7 +530,9 @@ struct Decoder {
             ctx2[i] = (idx < ctx_len) ? ctx[idx] : ws[j];
           }
           double e = lm->LogP(ctx2, n2, lm->eos);
-          cands.push_back({score + wlp + e, h.Ac(),
+          // lookahead cancellation so all final candidates share la[0]
+          double la_adj = la[0] - la[h.node];
+          cands.push_back({score + wlp + la_adj + e, h.Ac(),
                            h.lm_score + wlp + e, h.word_node, ws[j]});
         }
       }
