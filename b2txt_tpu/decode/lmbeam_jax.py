@@ -304,15 +304,26 @@ class DeviceLexiconBeamSearch:
         }
 
         # ---- dedupe + merge + prune
-        operands = (
-            cand["k1"], cand["k2"], cand["h1"], cand["h2"], cand["s"], cand["ns"],
-            cand["ac_s"], cand["ac_ns"], cand["lm"],
-            cand["node"], cand["last"], cand["parent"], cand["sym"], cand["word"],
-        ) + tuple(cand["ctx"][:, i] for i in range(CW))
-        sorted_ops = jax.lax.sort(operands, num_keys=2)
-        (k1s, k2s, h1s, h2s, ss, nss, acss, acnss, lms, nodes, lasts, parents,
-         syms, words) = sorted_ops[:14]
-        ctxs = jnp.stack(sorted_ops[14:], axis=1)
+        # Sort only (key1, key2, index) — everything else is gathered through
+        # the permutation, keeping the sort narrow (compile + runtime cost of
+        # multi-operand TPU sorts grows with operand count).
+        N = cand["k1"].shape[0]
+        k1s, k2s, perm = jax.lax.sort(
+            (cand["k1"], cand["k2"], jnp.arange(N, dtype=jnp.int32)), num_keys=2
+        )
+        ss = cand["s"][perm]
+        nss = cand["ns"][perm]
+        acss = cand["ac_s"][perm]
+        acnss = cand["ac_ns"][perm]
+        lms = cand["lm"][perm]
+        nodes = cand["node"][perm]
+        lasts = cand["last"][perm]
+        parents = cand["parent"][perm]
+        syms = cand["sym"][perm]
+        words = cand["word"][perm]
+        h1s = cand["h1"][perm]
+        h2s = cand["h2"][perm]
+        ctxs = cand["ctx"][perm]
 
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]

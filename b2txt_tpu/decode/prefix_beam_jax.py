@@ -140,12 +140,16 @@ def _expand_step(
     }
 
     # --- dedupe: sort by (h1, h2), segmented log-sum-exp merge ----------
-    sorted_vals = jax.lax.sort(
-        (cand["h1"], cand["h2"], cand["s"], cand["ns"],
-         cand["last"], cand["parent"], cand["sym"]),
-        num_keys=2,
+    # narrow 3-operand sort + gathers (cheap to compile/run on TPU)
+    N = cand["h1"].shape[0]
+    h1s, h2s, perm = jax.lax.sort(
+        (cand["h1"], cand["h2"], jnp.arange(N, dtype=jnp.int32)), num_keys=2
     )
-    h1s, h2s, ss, nss, lasts, parents, symss = sorted_vals
+    ss = cand["s"][perm]
+    nss = cand["ns"][perm]
+    lasts = cand["last"][perm]
+    parents = cand["parent"][perm]
+    symss = cand["sym"][perm]
     starts = jnp.concatenate(
         [jnp.ones((1,), bool),
          (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
