@@ -108,6 +108,20 @@ class TrieArrays:
         )
 
 
+def _backtrace_batch(
+    parents: np.ndarray, syms: np.ndarray, words: np.ndarray, beam: int
+) -> List[int]:
+    """Word backtrace over (T, K) record arrays for one utterance."""
+    ws: List[int] = []
+    k = beam
+    for t in range(parents.shape[0] - 1, -1, -1):
+        if words[t, k] >= 0:
+            ws.append(int(words[t, k]))
+        k = int(parents[t, k])
+    ws.reverse()
+    return ws
+
+
 class DeviceLexiconBeamSearch:
     """Stateful streaming decoder with the reset/decode/finalize protocol,
     running the search itself on device."""
@@ -135,19 +149,20 @@ class DeviceLexiconBeamSearch:
         )
         self.order = self.dev_lm.order
         self._scan = self._build_scan()
-        self._finalize_fn = self._build_finalize()
+        self._finalize_fn, self._finalize_batch = self._build_finalize()
+        self._batch_scan = self._build_batch_scan()
         self.reset()
 
     # ---------------------------------------------------------------- state
     def set_opt(self, config: DecodeConfig) -> None:
         self.config = config
 
-    def reset(self) -> None:
+    def _make_state(self) -> LmBeamState:
         K = self.config.beam_width
         k = jnp.arange(K, dtype=jnp.uint32)
         ctx = np.full((K, max(self.order - 1, 1)), -1, np.int32)
         ctx[:, -1] = self.dev_lm.bos_id
-        self.state = LmBeamState(
+        return LmBeamState(
             h1=jnp.where(k == 0, jnp.uint32(0x811C9DC5), jnp.uint32(0x80000000) | k),
             h2=jnp.where(k == 0, jnp.uint32(0x01000193), jnp.uint32(0x40000000) | k),
             node=jnp.zeros((K,), jnp.int32),
@@ -159,6 +174,9 @@ class DeviceLexiconBeamSearch:
             ac_ns=jnp.full((K,), NEG, jnp.float32),
             lm=jnp.zeros((K,), jnp.float32),
         )
+
+    def reset(self) -> None:
+        self.state = self._make_state()
         self.records: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.n_frames = 0
         self._final_cache = None
@@ -406,7 +424,6 @@ class DeviceLexiconBeamSearch:
         return scan_chunk
 
     def _build_finalize(self):
-        @jax.jit
         def finalize(state: LmBeamState):
             """Close open words (no acoustic cost) + </s>; returns per-
             candidate scores over (K, H+1) [slot H = already-at-root]."""
@@ -447,7 +464,118 @@ class DeviceLexiconBeamSearch:
             all_ac = jnp.broadcast_to(ac[:, None], (K, H + 1))
             return all_scores, all_words, all_lm, all_ac
 
-        return finalize
+        return jax.jit(finalize), jax.jit(jax.vmap(finalize))
+
+    def _build_batch_scan(self):
+        """Batched utterance decode: vmap the expansion over B utterances and
+        scan once over time — fills the VPU with B×K×V candidate lanes, which
+        is where the TPU's throughput advantage over per-utterance decoding
+        comes from."""
+
+        @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
+                                                     "log_blank_penalty"))
+        def scan_batch(state, lp_btv, lengths, scale: float,
+                       length_penalty: float, log_blank_penalty: float):
+            B, T, V = lp_btv.shape
+            K = state.s.shape[1]
+            if log_blank_penalty != 0.0:
+                lp_btv = lp_btv.at[:, :, self.blank].add(-log_blank_penalty)
+
+            expand = jax.vmap(
+                lambda st, lp: self._expand(st, lp, scale, length_penalty)
+            )
+
+            def step(state, tl):
+                t, lp_b = tl
+                new_state, parents, syms, words = expand(state, lp_b)
+                active = t < lengths  # (B,)
+
+                def sel(n, o):
+                    mask = active.reshape((-1,) + (1,) * (n.ndim - 1))
+                    return jnp.where(mask, n, o)
+
+                state = jax.tree_util.tree_map(sel, new_state, state)
+                parents = jnp.where(
+                    active[:, None], parents,
+                    jnp.arange(K, dtype=jnp.int32)[None, :],
+                )
+                syms = jnp.where(active[:, None], syms, -1)
+                words = jnp.where(active[:, None], words, -1)
+                return state, (parents, syms, words)
+
+            ts = jnp.arange(T, dtype=jnp.int32)
+            state, recs = jax.lax.scan(
+                step, state, (ts, jnp.moveaxis(lp_btv, 1, 0))
+            )
+            return state, recs
+
+        return scan_batch
+
+    def decode_batch(
+        self,
+        log_probs: np.ndarray,
+        input_lengths: Optional[np.ndarray] = None,
+        nbest: Optional[int] = None,
+    ) -> List[List[DecodeResult]]:
+        """One-shot decode of (B, T, 41) utterances → per-utterance n-best.
+
+        Frames past input_lengths are ignored. blank-skip is not supported in
+        batch mode (set ctc_blank_skip_threshold=1.0).
+        """
+        cfg = self.config
+        if cfg.ctc_blank_skip_threshold < 1.0:
+            raise NotImplementedError(
+                "blank-skip is only supported in streaming decode"
+            )
+        lp = jnp.asarray(log_probs, jnp.float32)
+        B, T, V = lp.shape
+        if input_lengths is None:
+            input_lengths = np.full((B,), T, np.int32)
+        single = self._make_state()
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
+        )
+        state, recs = self._batch_scan(
+            state, lp, jnp.asarray(input_lengths, jnp.int32),
+            scale=float(cfg.acoustic_scale),
+            length_penalty=float(cfg.length_penalty),
+            log_blank_penalty=float(math.log(cfg.blank_penalty)),
+        )
+        scores, fwords, lms, acs = (
+            np.asarray(x) for x in self._finalize_batch(state)
+        )
+        parents, syms, words = (np.asarray(r) for r in recs)  # (T, B, K)
+
+        n_out = nbest or cfg.nbest
+        results: List[List[DecodeResult]] = []
+        for b in range(B):
+            flat = scores[b].reshape(-1)
+            order = np.argsort(-flat)
+            out: List[DecodeResult] = []
+            seen = set()
+            H1 = scores.shape[2]
+            for idx in order:
+                if len(out) >= n_out or not np.isfinite(flat[idx]):
+                    break
+                k, j = divmod(int(idx), H1)
+                ws = _backtrace_batch(parents[:, b], syms[:, b], words[:, b], k)
+                if fwords[b, k, j] >= 0:
+                    ws = ws + [int(fwords[b, k, j])]
+                if not ws:
+                    continue
+                sentence = " ".join(self.lexicon.words[w] for w in ws)
+                if sentence in seen:
+                    continue
+                seen.add(sentence)
+                out.append(
+                    DecodeResult(
+                        sentence=sentence,
+                        ac_score=float(acs[b, k, j]),
+                        lm_score=float(lms[b, k, j]),
+                    )
+                )
+            results.append(out)
+        return results
 
     # ------------------------------------------------------------- protocol
     def decode(self, log_probs: np.ndarray) -> None:

@@ -71,6 +71,49 @@ def clean_text(text: str) -> Iterator[str]:
             yield cleaned
 
 
+_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_SCALES = [(10**9, "billion"), (10**6, "million"), (1000, "thousand"), (100, "hundred")]
+
+
+def number_to_words(n: int) -> str:
+    """Integer → English words (the num2words dependency of the reference's
+    convert_number_to_words.py, reimplemented for the corpus pipeline)."""
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rem = divmod(n, 10)
+        return _TENS[tens] + (" " + _ONES[rem] if rem else "")
+    for scale, name in _SCALES:
+        if n >= scale:
+            major, rem = divmod(n, scale)
+            out = number_to_words(major) + " " + name
+            if rem:
+                out += " " + number_to_words(rem)
+            return out
+    return _ONES[0]
+
+
+def convert_numbers_to_words(text: str) -> str:
+    """Replace standalone integers in text with their word form
+    (convert_number_to_words.py equivalent; floats/comma groups are split)."""
+    def repl(m):
+        return " " + number_to_words(int(m.group(0))) + " "
+
+    text = re.sub(r"(?<=\d),(?=\d)", "", text)  # 1,000 -> 1000
+    text = re.sub(r"\d+", repl, text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
 def format_corpus(
     lines: Iterable[str],
     lexicon_words: Optional[Set[str]] = None,

@@ -157,6 +157,24 @@ class Lexicon:
                 norm[w.lower()] = [strip_stress(x) for x in p]  # type: ignore[union-attr]
         return cls.build(norm)
 
+    @classmethod
+    def letters(cls) -> "Lexicon":
+        """Letter-spelling lexicon (the reference's spelling_lm /
+        handwriting-style recipes): each 'word' is a letter, pronounced as
+        its spoken name."""
+        names = {
+            "a": ["EY"], "b": ["B", "IY"], "c": ["S", "IY"], "d": ["D", "IY"],
+            "e": ["IY"], "f": ["EH", "F"], "g": ["JH", "IY"],
+            "h": ["EY", "CH"], "i": ["AY"], "j": ["JH", "EY"],
+            "k": ["K", "EY"], "l": ["EH", "L"], "m": ["EH", "M"],
+            "n": ["EH", "N"], "o": ["OW"], "p": ["P", "IY"],
+            "q": ["K", "Y", "UW"], "r": ["AA", "R"], "s": ["EH", "S"],
+            "t": ["T", "IY"], "u": ["Y", "UW"], "v": ["V", "IY"],
+            "w": ["D", "AH", "B", "AH", "L", "Y", "UW"],
+            "x": ["EH", "K", "S"], "y": ["W", "AY"], "z": ["Z", "IY"],
+        }
+        return cls.build({w: [p] for w, p in names.items()})
+
     def lookahead_scores(self, unigram_logp) -> np.ndarray:
         """Per-node LM lookahead: la[node] = best unigram log-prob of any word
         reachable at/below the node (the weight-pushing of G scores along L

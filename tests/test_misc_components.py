@@ -1,0 +1,106 @@
+"""Smaller parity components: number-to-words, letter lexicon, profiling,
+batched device decode, analysis stats."""
+
+import numpy as np
+import pytest
+
+from b2txt_tpu.lm.corpus import convert_numbers_to_words, number_to_words
+from b2txt_tpu.lm import Lexicon, train_ngram
+from b2txt_tpu.utils.profiling import StageTimer
+
+
+def test_number_to_words():
+    assert number_to_words(0) == "zero"
+    assert number_to_words(13) == "thirteen"
+    assert number_to_words(42) == "forty two"
+    assert number_to_words(100) == "one hundred"
+    assert number_to_words(1234) == "one thousand two hundred thirty four"
+    assert number_to_words(1000000) == "one million"
+    assert number_to_words(-5) == "minus five"
+
+
+def test_convert_numbers_in_text():
+    assert convert_numbers_to_words("i have 2 cats") == "i have two cats"
+    assert convert_numbers_to_words("1,000 things") == "one thousand things"
+
+
+def test_letter_lexicon():
+    lex = Lexicon.letters()
+    assert len(lex.words) == 26
+    from b2txt_tpu.lm.lexicon import PHONE_TO_ID
+
+    node = 0
+    for p in ["EY"]:
+        node = lex.next[node, PHONE_TO_ID[p]]
+    assert lex.words[lex.node_words(int(node))[0]] == "a"
+    ids = lex.sentence_to_phonemes("a b")
+    assert ids is not None and len(ids) > 3
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("x"):
+        pass
+    with t.stage("x"):
+        pass
+    s = t.summary()
+    assert s["x"]["count"] == 2
+    assert s["x"]["total_s"] >= 0
+
+
+def test_batched_device_decode_matches_streaming():
+    from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
+    from b2txt_tpu.utils.config import DecodeConfig
+
+    LEX = {"the": ["DH", "AH"], "cat": ["K", "AE", "T"], "mat": ["M", "AE", "T"]}
+    CORPUS = [["the", "cat"], ["the", "mat"], ["the", "cat"]] * 4
+    lexicon = Lexicon.from_words(LEX)
+    lm = train_ngram(CORPUS, order=2)
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=3, beam_width=16)
+    dev = DeviceLexiconBeamSearch(lexicon, lm, cfg)
+
+    def lp_for(s):
+        ids = lexicon.sentence_to_phonemes(s)
+        rows = []
+        for pid in ids:
+            for _ in range(2):
+                r = np.full(41, -8.0, np.float32)
+                r[pid] = 0.0
+                rows.append(r)
+            b = np.full(41, -8.0, np.float32)
+            b[0] = 0.0
+            rows.append(b)
+        lp = np.stack(rows)
+        return lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+    sents = ["the cat", "the mat"]
+    lps = [lp_for(s) for s in sents]
+    T = max(l.shape[0] for l in lps)
+    batch = np.full((2, T, 41), -20.0, np.float32)
+    lens = np.array([l.shape[0] for l in lps], np.int32)
+    for i, l in enumerate(lps):
+        batch[i, : l.shape[0]] = l
+
+    res = dev.decode_batch(batch, lens)
+    for s, r in zip(sents, res):
+        assert r[0].sentence == s
+    # equals the streaming path
+    for i, s in enumerate(sents):
+        dev.reset()
+        dev.decode(lps[i])
+        r1 = dev.finish_decoding()
+        assert r1[0].sentence == res[i][0].sentence
+        np.testing.assert_allclose(r1[0].ac_score, res[i][0].ac_score, rtol=1e-5)
+
+
+def test_analysis_stats():
+    from b2txt_tpu.analysis import per_day_error_rates, words_per_minute
+
+    refs = [["a", "b"], ["a", "b", "c"], ["x"]]
+    hyps = [["a", "b"], ["a", "c", "c"], ["y"]]
+    days = ["d1", "d1", "d2"]
+    out = per_day_error_rates(refs, hyps, days, n_resamples=100)
+    np.testing.assert_allclose(out["d1"][0], 1 / 5)
+    np.testing.assert_allclose(out["d2"][0], 1.0)
+    wpm = words_per_minute([10, 20], [60.0, 60.0], ["d1", "d1"])
+    np.testing.assert_allclose(wpm["d1"], 15.0)
