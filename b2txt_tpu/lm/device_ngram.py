@@ -14,7 +14,7 @@ xorshift-avalanche mix used for beam-prefix identity; empty slots carry key 0.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -153,6 +153,84 @@ class DeviceNGram:
     @property
     def unk_id(self) -> int:
         return self.n_words + 2
+
+    @classmethod
+    def from_arpa_streaming(
+        cls, path: str, lexicon: Lexicon, max_order: Optional[int] = None
+    ) -> "DeviceNGram":
+        """Build directly from an ARPA file without materializing Python dict
+        tables — the large-model path (a 5-gram with hundreds of millions of
+        n-grams packs at 16 bytes/entry into HBM, vs the reference's ~300 GB
+        host-RAM SRILM representation, README.md:101)."""
+        import gzip
+        import math as _math
+
+        from .arpa import LOG10
+
+        n_words = len(lexicon.words)
+        special = {BOS: n_words, EOS: n_words + 1, UNK: n_words + 2}
+
+        def wid(w: str) -> int:
+            if w in special:
+                return special[w]
+            return lexicon.word_ids.get(w, -2)
+
+        opener = gzip.open if path.endswith(".gz") else open
+        # pass 1: counts
+        counts: List[int] = []
+        with opener(path, "rt") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("ngram "):
+                    counts.append(int(line.split("=")[1]))
+                elif line.startswith("\\1-grams"):
+                    break
+        order = len(counts) if max_order is None else min(len(counts), max_order)
+
+        tables = []
+        unk_logp = -23.0
+        with opener(path, "rt") as f:
+            # skip to first gram section
+            for line in f:
+                if line.strip() == "\\1-grams:":
+                    break
+            cur = 1
+            entries: Dict[Tuple[int, ...], Tuple[float, float]] = {}
+            for line in f:
+                s = line.strip()
+                if s.startswith("\\") and s.endswith("-grams:"):
+                    tables.append(HashTable.build(entries).as_device())
+                    entries = {}
+                    cur = int(s[1:].split("-")[0])
+                    if cur > order:
+                        break
+                    continue
+                if s == "\\end\\":
+                    break
+                if not s:
+                    continue
+                parts = s.split()
+                try:
+                    logp = float(parts[0]) * LOG10
+                except ValueError:
+                    continue
+                words = parts[1 : 1 + cur]
+                bow = (
+                    float(parts[1 + cur]) * LOG10
+                    if len(parts) > 1 + cur else 0.0
+                )
+                ids = tuple(wid(w) for w in words)
+                if cur == 1 and words[0] == UNK:
+                    unk_logp = logp
+                if any(i == -2 for i in ids):
+                    continue
+                entries[ids] = (logp, bow)
+            if entries and len(tables) < order:
+                tables.append(HashTable.build(entries).as_device())
+        while len(tables) < order:
+            tables.append(HashTable.build({}).as_device())
+        return cls(order=order, n_words=n_words, tables=tables,
+                   unk_logp=float(unk_logp))
 
     @classmethod
     def build(cls, lm: NGramLM, lexicon: Lexicon) -> "DeviceNGram":

@@ -79,3 +79,26 @@ def test_sentence_score_matches(lms):
         total += float(dev.logp(jnp.asarray(c), jnp.asarray(wid)))
         ctx.append(w)
     np.testing.assert_allclose(total, lm.sentence_logp(sent), rtol=1e-5)
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_streaming_arpa_builder_matches(tmp_path, order):
+    """from_arpa_streaming == build(NGramLM) scoring, incl. higher orders."""
+    lexicon = Lexicon.from_words(LEX)
+    lm = train_ngram(CORPUS, order=order)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.to_arpa(arpa)
+    dev_mem = DeviceNGram.build(lm, lexicon)
+    dev_stream = DeviceNGram.from_arpa_streaming(arpa, lexicon)
+    assert dev_stream.order == order
+
+    contexts = [[], [BOS], ["the"], ["the", "cat", "sat"], ["on", "the"]]
+    words = ["cat", "dog", "mat", EOS]
+    for ctx in contexts:
+        for w in words:
+            c = _ctx_ids(dev_mem, lexicon, ctx)
+            wid = dev_mem.eos_id if w == EOS else lexicon.word_ids[w]
+            a = float(dev_mem.logp(jnp.asarray(c), jnp.asarray(wid)))
+            b = float(dev_stream.logp(jnp.asarray(c), jnp.asarray(wid)))
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(a, lm.logp(ctx, w), rtol=1e-4, atol=1e-4)
