@@ -36,10 +36,14 @@ from ..smoothing import gaussian_kernel
 
 def _normals(shape):
     """Standard normals via Box-Muller over on-chip PRNG bits."""
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # uniforms in [1, 2) by splicing random mantissa bits under a fixed
+    # exponent (single bitcast; Mosaic lacks a uint32→f32 convert)
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    f1 = pltpu.bitcast(jnp.uint32(0x3F800000) | (bits1 >> 9), jnp.float32)
+    f2 = pltpu.bitcast(jnp.uint32(0x3F800000) | (bits2 >> 9), jnp.float32)
+    u1 = (f1 - 1.0) + 1e-7
+    u2 = f2 - 1.0
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(2.0 * np.pi * u2)
 
@@ -53,7 +57,7 @@ def _make_kernel(T: int, C: int, args: TransformArgs, training: bool,
         or args.random_walk_std > 0
     )
 
-    def kernel(seed_ref, cut_ref, x_ref, *rest):
+    def kernel(seed_ref, x_ref, *rest):
         if needs_noise and not on_chip_rng:
             noise_ref, out_ref = rest
         else:
@@ -85,19 +89,13 @@ def _make_kernel(T: int, C: int, args: TransformArgs, training: bool,
                     args.random_walk_std * draw((T, C)),
                     axis=args.random_walk_axis,
                 )
-            if args.random_cut > 0:
-                cut = cut_ref[0]
-                rolled = jnp.roll(x, -cut, axis=0)
-                t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-                x = jnp.where(t_idx < (T - cut), rolled, 0.0)
 
         if args.smooth_data:
             padded = jnp.pad(x, ((half, K - 1 - half), (0, 0)))
             acc = jnp.zeros((T, C), jnp.float32)
             for k, w in enumerate(kern):
-                acc = acc + np.float32(w) * jax.lax.dynamic_slice_in_dim(
-                    padded, k, T, axis=0
-                )
+                # static slices — Mosaic has no dynamic_slice-of-values rule
+                acc = acc + np.float32(w) * padded[k : k + T, :]
             x = acc
 
         out_ref[0] = x
@@ -137,20 +135,23 @@ def fused_preprocess(
         features = jnp.einsum("btc,bcd->btd", features, warp)
 
     if training and args.random_cut > 0:
+        # The cut shift stays on the XLA side: Mosaic has no dynamic-shift
+        # lowering for values, and a roll+mask over (B, T, C) fuses into the
+        # surrounding program anyway.
+        from ..augment import shift_left_and_zero
+
         cut = jax.random.randint(k_cut, (), 0, args.random_cut, jnp.int32)
+        features = shift_left_and_zero(features, cut)
         n_time_steps = n_time_steps - cut
-    else:
-        cut = jnp.zeros((), jnp.int32)
 
     seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
 
     kernel, needs_noise = _make_kernel(T, C, args, training, kern, on_chip_rng)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    inputs = [seed.reshape(1), cut.reshape(1), features.astype(jnp.float32)]
+    inputs = [seed.reshape(1), features.astype(jnp.float32)]
 
     if needs_noise and not on_chip_rng:
         # [white (T,C); offset (1,C); walk (T,C)] stacked along time axis

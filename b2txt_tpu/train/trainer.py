@@ -133,7 +133,16 @@ class Trainer:
 
         def loss_fn(params, key, feats, labels, n_time, lab_lens, day_idx):
             k_aug, k_drop = jax.random.split(key)
-            feats, n_time = transform_data(k_aug, feats, n_time, targs, training=True)
+            if cfg.use_fused_preprocess:
+                from ..ops.pallas.preprocess import fused_preprocess
+
+                feats, n_time = fused_preprocess(
+                    k_aug, feats, n_time, targs, training=True
+                )
+            else:
+                feats, n_time = transform_data(
+                    k_aug, feats, n_time, targs, training=True
+                )
             adjusted = (
                 (n_time - cfg.model.patch_size) // cfg.model.patch_stride + 1
             ).astype(jnp.int32)

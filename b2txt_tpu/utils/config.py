@@ -107,6 +107,7 @@ class TrainConfig:
     gpu_number: str = "0"  # kept for config-compat; ignored on TPU
     mode: str = "train"
     use_amp: bool = True  # bf16 compute policy
+    use_fused_preprocess: bool = False  # Pallas augment+smooth kernel (TPU)
 
     output_dir: str = "trained_models/baseline_rnn"
     checkpoint_dir: str = "trained_models/baseline_rnn/checkpoint"
