@@ -183,7 +183,11 @@ class DeviceLexiconBeamSearch:
 
     # ------------------------------------------------------------ expansion
     def _expand(self, state: LmBeamState, lp: jax.Array, scale: float,
-                length_penalty: float):
+                length_penalty: float, first_beam: Optional[int] = None):
+        """One frame of expansion. ``first_beam`` statically restricts the
+        phone-extension candidates to the top-k log-prob phones of this frame
+        (the reference's first-beam prune) — shrinking the per-frame sort from
+        K·(V+H+2) to K·(first_beam+H+2) candidates."""
         K = state.s.shape[0]
         V = lp.shape[0]
         H = self.H
@@ -221,12 +225,23 @@ class DeviceLexiconBeamSearch:
         )
 
         # ---- 2. extend with phone c (non-blank, non-SIL)
-        c = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (K, V))
-        child = self.trie.next[state.node]            # (K, V)
+        if first_beam is not None and first_beam < V - 2:
+            # restrict extensions to this frame's top phones (blank/SIL are
+            # handled by the stay/silence/close branches)
+            masked = lp.at[blank].set(-jnp.inf).at[sil].set(-jnp.inf)
+            lp_fb, c_fb = jax.lax.top_k(masked, first_beam)   # (FB,)
+            FB = first_beam
+            c = jnp.broadcast_to(c_fb[None, :], (K, FB)).astype(jnp.int32)
+            lp_ext = jnp.broadcast_to(lp_fb[None, :], (K, FB))
+        else:
+            FB = V
+            c = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (K, V))
+            lp_ext = jnp.broadcast_to(lp[None, :], (K, V))
+        child = self.trie.next[state.node[:, None], c]        # (K, FB)
         is_rep = c == state.last[:, None]
         base = jnp.where(is_rep, state.s[:, None], score[:, None])
         ac_base = jnp.where(is_rep, state.ac_s[:, None], ac[:, None])
-        phone_ok = (c != blank) & (c != sil) & (child >= 0)
+        phone_ok = (c != blank) & (c != sil) & (child >= 0) & jnp.isfinite(lp_ext)
         ek1, ek2 = sort_keys(
             state.h1[:, None], state.h2[:, None], jnp.maximum(child, 0), c
         )
@@ -234,18 +249,18 @@ class DeviceLexiconBeamSearch:
         la_delta = self.la[jnp.maximum(child, 0)] - la_node[:, None]
         ext = dict(
             k1=ek1, k2=ek2,
-            h1=jnp.broadcast_to(state.h1[:, None], (K, V)),
-            h2=jnp.broadcast_to(state.h2[:, None], (K, V)),
+            h1=jnp.broadcast_to(state.h1[:, None], (K, FB)),
+            h2=jnp.broadcast_to(state.h2[:, None], (K, FB)),
             node=jnp.maximum(child, 0), last=c,
-            ctx=jnp.broadcast_to(state.ctx[:, None, :], (K, V, CW)),
-            s=jnp.full((K, V), NEG),
-            ns=jnp.where(phone_ok, base + scale * lp[None, :] + la_delta, NEG),
-            ac_s=jnp.full((K, V), NEG),
-            ac_ns=jnp.where(phone_ok, ac_base + lp[None, :], NEG),
-            lm=jnp.broadcast_to(state.lm[:, None], (K, V)),
-            parent=jnp.broadcast_to(arangeK[:, None], (K, V)),
+            ctx=jnp.broadcast_to(state.ctx[:, None, :], (K, FB, CW)),
+            s=jnp.full((K, FB), NEG),
+            ns=jnp.where(phone_ok, base + scale * lp_ext + la_delta, NEG),
+            ac_s=jnp.full((K, FB), NEG),
+            ac_ns=jnp.where(phone_ok, ac_base + lp_ext, NEG),
+            lm=jnp.broadcast_to(state.lm[:, None], (K, FB)),
+            parent=jnp.broadcast_to(arangeK[:, None], (K, FB)),
             sym=jnp.where(phone_ok, c, -1),
-            word=jnp.full((K, V), -1, jnp.int32),
+            word=jnp.full((K, FB), -1, jnp.int32),
         )
 
         # ---- 3. SIL at root: extra/leading silence
@@ -372,9 +387,11 @@ class DeviceLexiconBeamSearch:
     def _build_scan(self):
         @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
                                                      "log_blank_penalty",
-                                                     "blank_skip_thresh"))
+                                                     "blank_skip_thresh",
+                                                     "first_beam"))
         def scan_chunk(state, lp_chunk, scale: float, length_penalty: float,
-                       log_blank_penalty: float, blank_skip_thresh: float):
+                       log_blank_penalty: float, blank_skip_thresh: float,
+                       first_beam=None):
             if log_blank_penalty != 0.0:
                 lp_chunk = lp_chunk.at[:, self.blank].add(-log_blank_penalty)
 
@@ -390,7 +407,7 @@ class DeviceLexiconBeamSearch:
                 if use_skip:
                     lp, do_skip, do_reinsert = inputs
                     st_b, pb, sb, wb = self._expand(
-                        state, blank_row, scale, length_penalty
+                        state, blank_row, scale, length_penalty, first_beam
                     )
                     state = jax.tree_util.tree_map(
                         lambda n, o: jnp.where(
@@ -401,7 +418,7 @@ class DeviceLexiconBeamSearch:
                 else:
                     lp, do_skip = inputs[0], None
                 new_state, parents, syms, words = self._expand(
-                    state, lp, scale, length_penalty
+                    state, lp, scale, length_penalty, first_beam
                 )
                 if use_skip:
                     keepmask = ~do_skip
@@ -473,16 +490,19 @@ class DeviceLexiconBeamSearch:
         comes from."""
 
         @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
-                                                     "log_blank_penalty"))
+                                                     "log_blank_penalty",
+                                                     "first_beam"))
         def scan_batch(state, lp_btv, lengths, scale: float,
-                       length_penalty: float, log_blank_penalty: float):
+                       length_penalty: float, log_blank_penalty: float,
+                       first_beam=None):
             B, T, V = lp_btv.shape
             K = state.s.shape[1]
             if log_blank_penalty != 0.0:
                 lp_btv = lp_btv.at[:, :, self.blank].add(-log_blank_penalty)
 
             expand = jax.vmap(
-                lambda st, lp: self._expand(st, lp, scale, length_penalty)
+                lambda st, lp: self._expand(st, lp, scale, length_penalty,
+                                            first_beam)
             )
 
             def step(state, tl):
@@ -540,6 +560,7 @@ class DeviceLexiconBeamSearch:
             scale=float(cfg.acoustic_scale),
             length_penalty=float(cfg.length_penalty),
             log_blank_penalty=float(math.log(cfg.blank_penalty)),
+            first_beam=cfg.first_beam_size or None,
         )
         scores, fwords, lms, acs = (
             np.asarray(x) for x in self._finalize_batch(state)
@@ -588,6 +609,7 @@ class DeviceLexiconBeamSearch:
             length_penalty=float(cfg.length_penalty),
             log_blank_penalty=float(math.log(cfg.blank_penalty)),
             blank_skip_thresh=float(cfg.ctc_blank_skip_threshold),
+            first_beam=cfg.first_beam_size or None,
         )
         self.records.append(tuple(np.asarray(r) for r in recs))
         self.n_frames += lp.shape[0]

@@ -201,6 +201,10 @@ class DecodeConfig:
     score_penalty_percent: float = 0.01
     # TPU beam-search sizing (new: fixed-width beams instead of Kaldi max_active)
     beam_width: int = 128
+    # Restrict phone extensions to the frame's top-k phones (0 = all 39).
+    # Shrinks the device searcher's per-frame sort ~3x; CTC posteriors are
+    # peaked, so quality impact is nil at >= 8.
+    first_beam_size: int = 0
 
     def to_dict(self) -> Dict[str, Any]:
         return _asdict(self)
