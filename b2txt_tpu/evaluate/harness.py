@@ -119,7 +119,16 @@ def evaluate_sessions(
     sessions = list(sessions if sessions is not None else cfg.dataset.sessions)
     trials: List[TrialEval] = []
 
-    for day_idx, session in enumerate(sessions):
+    # Day indices must match the model's day-layer indices — i.e. the session's
+    # position in the TRAINING session list, not in a filtered subset.
+    train_sessions = list(cfg.dataset.sessions)
+
+    for session in sessions:
+        day_idx = (
+            train_sessions.index(session)
+            if session in train_sessions
+            else sessions.index(session)
+        )
         path = os.path.join(data_dir, session, f"data_{eval_type}.hdf5")
         if not os.path.exists(path):
             continue

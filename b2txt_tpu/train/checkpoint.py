@@ -49,3 +49,48 @@ def save_checkpoint(
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_checkpoint_orbax(
+    path: str,
+    params: Any,
+    opt_state: Any = None,
+    step: int = 0,
+    val_per: float = float("inf"),
+    val_loss: float = float("inf"),
+) -> None:
+    """Orbax-backed save: the multi-host/sharded-array path (each host writes
+    its shards; restores with or without shardings). Use the pickle format for
+    single-host runs and the torch exporter for reference interchange."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": params,
+            "opt_state": opt_state,
+            "meta": {
+                "step": step, "val_PER": float(val_per),
+                "val_loss": float(val_loss),
+            },
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    meta = tree.get("meta", {})
+    return {
+        "params": tree["params"],
+        "opt_state": tree.get("opt_state"),
+        "step": int(meta.get("step", 0)),
+        "val_PER": float(meta.get("val_PER", float("inf"))),
+        "val_loss": float(meta.get("val_loss", float("inf"))),
+    }
