@@ -231,7 +231,7 @@ class Trainer:
 
             if i % cfg.batches_per_val_step == 0 or i == cfg.num_training_batches - 1:
                 t0 = time.time()
-                val_metrics = self.validation()
+                val_metrics = self.validation(return_logits=cfg.save_val_logits)
                 self.logger.info(
                     f"Val batch {i}: PER (avg): {val_metrics['avg_PER']:.4f} "
                     f"CTC Loss (avg): {val_metrics['avg_loss']:.4f} "

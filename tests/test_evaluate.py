@@ -110,3 +110,37 @@ def test_competition_csv(trained, tmp_path):
     assert rows[0] == ["id", "text"]
     assert len(rows) == len(out["trials"]) + 1
     assert rows[1][1] == "hello world"
+
+
+def test_native_decoder_through_harness(trained, tmp_path):
+    """Production glue: eval harness -> DecoderService -> C++ native searcher."""
+    import os
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    from b2txt_tpu.lm import train_ngram
+    from b2txt_tpu.lm.lexicon import strip_stress
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+
+    data_dir, cfg, params = trained
+    prons = synthetic.word_pronunciations()
+    lm = train_ngram(synthetic.sentence_corpus(100), order=3)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.to_arpa(arpa)
+    lexp = str(tmp_path / "lexicon.txt")
+    with open(lexp, "w") as f:
+        for w, pron in prons.items():
+            f.write(f"{w.upper()}  {' '.join(strip_stress(pron))}\n")
+
+    dcfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10,
+                        beam_width=64)
+    decoder = DecoderService(
+        Lexicon.from_words(prons), lm, dcfg, channel_order="model"
+    )
+    decoder.searcher = NativeLexiconBeamSearch(arpa, lexp, dcfg)
+    out = evaluate_sessions(
+        params, cfg, data_dir, eval_type="val",
+        sessions=SESSIONS[:1], decoder=decoder,
+    )
+    assert out["WER"] < 0.4, f"native-decoder WER too high: {out['WER']:.3f}"
