@@ -19,18 +19,23 @@ import numpy as np
 from ..decode.lmbeam import DecodeResult
 from ..utils.config import DecodeConfig
 
-_SRC = os.path.join(os.path.dirname(__file__), "decoder.cc")
-_SO = os.path.join(os.path.dirname(__file__), "_decoder.so")
+_DIR = os.path.dirname(__file__)
+_SRCS = [
+    os.path.join(_DIR, "decoder.cc"),
+    os.path.join(_DIR, "ngram_train.cc"),
+]
+_SO = os.path.join(_DIR, "_decoder.so")
 
 _lib = None
 
 
 def _build() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO) and all(
+        os.path.getmtime(_SO) >= os.path.getmtime(s) for s in _SRCS
+    ):
         return _SO
-    cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
-    ]
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+           *_SRCS, "-o", _SO + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
     return _SO
@@ -58,8 +63,32 @@ def _load():
     lib.b2t_finalize.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.b2t_partial.restype = ctypes.c_int
     lib.b2t_partial.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.b2t_train_ngram.restype = ctypes.c_int
+    lib.b2t_train_ngram.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+        ctypes.c_char_p,
+    ]
     _lib = lib
     return lib
+
+
+def train_ngram_native(
+    corpus_path: str,
+    out_arpa: str,
+    order: int = 3,
+    discount: float = 0.75,
+    vocab_path: Optional[str] = None,
+) -> None:
+    """Train an interpolated-KN n-gram from a one-sentence-per-line corpus file
+    and write ARPA — the native (SRILM-scale) counterpart of lm.train_ngram,
+    same estimator (parity-tested)."""
+    lib = _load()
+    rc = lib.b2t_train_ngram(
+        corpus_path.encode(), (vocab_path or "").encode(), order, discount,
+        out_arpa.encode(),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native n-gram training failed (code {rc})")
 
 
 def _parse(buf: bytes) -> List[DecodeResult]:

@@ -29,6 +29,8 @@ def main() -> None:
     p.add_argument("--discount", type=float, default=0.75)
     p.add_argument("--no-format", action="store_true",
                    help="corpus is already normalized (one sentence/line)")
+    p.add_argument("--native", action="store_true",
+                   help="train with the C++ runtime (SRILM-scale corpora)")
     p.add_argument("--uniform-from-wordlist", default=None,
                    help="build a uniform 1-gram over this word list instead")
     args = p.parse_args()
@@ -61,7 +63,22 @@ def main() -> None:
                 s.split() for s in format_corpus(lines, lexicon_words=lex_words)
             ]
         print(f"Training {args.order}-gram on {len(sentences)} sentences...")
-        lm = train_ngram(sentences, order=args.order, discount=args.discount)
+        if args.native:
+            import tempfile
+
+            from b2txt_tpu.lm import NGramLM
+            from b2txt_tpu.runtime import train_ngram_native
+
+            tmp = tempfile.mkdtemp()
+            cpath = os.path.join(tmp, "corpus.txt")
+            with open(cpath, "w") as f:
+                f.write("\n".join(" ".join(s) for s in sentences) + "\n")
+            apath = os.path.join(tmp, "lm.arpa")
+            train_ngram_native(cpath, apath, order=args.order,
+                               discount=args.discount)
+            lm = NGramLM.from_arpa(apath)
+        else:
+            lm = train_ngram(sentences, order=args.order, discount=args.discount)
         vocab_lower = {w.lower() for w in lm.vocab}
 
     # filtered lexicon covering the LM vocabulary

@@ -157,3 +157,48 @@ def test_native_in_decoder_service(artifacts, native):
         clean_logprobs(lexicon.sentence_to_phonemes("the cat sat")) * 3.0
     )
     assert out.sentence == "the cat sat"
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_native_ngram_trainer_matches_python(tmp_path, order):
+    """C++ KN trainer == Python trainer (same estimator, exact scores)."""
+    import math
+
+    from b2txt_tpu.lm import EOS, UNK, NGramLM, train_ngram
+    from b2txt_tpu.runtime import train_ngram_native
+
+    corpus = [" ".join(s) for s in CORPUS]
+    cpath = str(tmp_path / "corpus.txt")
+    with open(cpath, "w") as f:
+        f.write("\n".join(corpus) + "\n")
+    apath = str(tmp_path / f"lm{order}.arpa")
+    train_ngram_native(cpath, apath, order=order)
+    nat = NGramLM.from_arpa(apath)
+    py = train_ngram(CORPUS, order=order)
+    for ctx in ([], ["the"], ["the", "cat"], ["there", "is"], ["zz"]):
+        for w in ["cat", "mat", "is", "the", EOS, UNK]:
+            np.testing.assert_allclose(
+                nat.logp(ctx, w), py.logp(ctx, w), rtol=1e-5, atol=1e-5
+            )
+    # normalization
+    total = sum(math.exp(nat.logp(["the"], w)) for w in py.vocab
+                if w not in (EOS, UNK))
+    total += math.exp(nat.logp(["the"], EOS)) + math.exp(nat.logp(["the"], UNK))
+    np.testing.assert_allclose(total, 1.0, rtol=1e-5)
+
+
+def test_native_trainer_vocab_limit(tmp_path):
+    from b2txt_tpu.lm import NGramLM
+    from b2txt_tpu.runtime import train_ngram_native
+
+    cpath = str(tmp_path / "c.txt")
+    with open(cpath, "w") as f:
+        f.write("the cat sat\nthe dog ran\n")
+    vpath = str(tmp_path / "v.txt")
+    with open(vpath, "w") as f:
+        f.write("the\ncat\nsat\n")
+    apath = str(tmp_path / "lm.arpa")
+    train_ngram_native(cpath, apath, order=2, vocab_path=vpath)
+    lm = NGramLM.from_arpa(apath)
+    assert "dog" not in lm.vocab
+    assert lm.logp([], "dog") == lm.logp([], "<unk>")
