@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Simulated 45-session evaluation at reference scale.
+
+Real t15 data is not available in this image, so this drives the exact
+production path — 45 sessions × N trials through bucketed batched RNN
+inference (bf16, full 512-feat/5×768 model), greedy PER, and the native LM
+beam decode with WER — on synthetic sessions with a planted phoneme code.
+The reference's equivalent flow (evaluate_model.py stages 1+2 over Redis)
+takes ~15–20 min for ~1,450 trials on an RTX 4090.
+
+  python scripts/eval_45session_sim.py [--trials-per-session 32] [--sessions 45]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sessions", type=int, default=45)
+    p.add_argument("--trials-per-session", type=int, default=32)
+    p.add_argument("--neural-dim", type=int, default=512)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    from b2txt_tpu.data import synthetic
+    from b2txt_tpu.evaluate import evaluate_sessions, write_competition_csv
+    from b2txt_tpu.lm import Lexicon, train_ngram
+    from b2txt_tpu.lm.lexicon import strip_stress
+    from b2txt_tpu.models import gru_decoder, state_dict_from_params, params_from_state_dict
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+    from b2txt_tpu.serve import DecoderService
+    from b2txt_tpu.utils import TrainConfig
+    from b2txt_tpu.utils.config import DecodeConfig
+
+    out = args.out or tempfile.mkdtemp()
+    sessions = [f"t15.2023.{i:04d}" for i in range(args.sessions)]
+
+    print(f"Writing {args.sessions} synthetic sessions x "
+          f"{args.trials_per_session} trials (D={args.neural_dim})...")
+    t0 = time.time()
+    synthetic.write_synthetic_sessions(
+        out, sessions, trials_per_session=args.trials_per_session,
+        neural_dim=args.neural_dim, splits=("val",),
+    )
+    print(f"  data written in {time.time() - t0:.1f}s")
+
+    cfg = TrainConfig()
+    cfg.model.n_input_features = args.neural_dim
+    cfg.dataset.neural_dim = args.neural_dim
+    cfg.dataset.sessions = sessions
+    cfg.dataset.dataset_probability_val = [1] * args.sessions
+
+    # Random weights: this measures the production path's throughput at full
+    # scale (PER/WER are expectedly ~1 without training — accuracy parity is
+    # exercised by the trained-model tests and examples/figures_demo.py).
+    import jax.numpy as jnp
+
+    params = gru_decoder.init_params_from_config(
+        jax.random.PRNGKey(0), cfg.model, args.sessions, 41
+    )
+
+    lexicon = Lexicon.from_words(synthetic.word_pronunciations())
+    lm = train_ngram(synthetic.sentence_corpus(200), order=3)
+    arpa = os.path.join(out, "lm.arpa")
+    lm.to_arpa(arpa)
+    lexp = os.path.join(out, "lexicon.txt")
+    with open(lexp, "w") as f:
+        for w, pron in synthetic.word_pronunciations().items():
+            f.write(f"{w.upper()}  {' '.join(strip_stress(pron))}\n")
+
+    dcfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=2.0, nbest=10,
+                        beam_width=128)
+    decoder = DecoderService(lexicon, lm, dcfg, channel_order="model")
+    decoder.searcher = NativeLexiconBeamSearch(arpa, lexp, dcfg)
+
+    print("Stage 1+2: batched RNN inference + native LM decode...")
+    t0 = time.time()
+    res = evaluate_sessions(
+        params, cfg, out, eval_type="val", decoder=decoder,
+        compute_dtype=jnp.bfloat16,
+    )
+    wall = time.time() - t0
+    n = len(res["trials"])
+    print(f"  {n} trials in {wall / 60:.2f} min "
+          f"({n / wall:.1f} sentences/s end-to-end)")
+    print(f"  greedy PER (random weights, expected ~1): {res.get('greedy_PER', -1):.3f}")
+    print(f"  WER vs labels (random weights, expected ~1): {res.get('WER', -1):.3f}")
+    csv_path = os.path.join(out, "submission.csv")
+    write_competition_csv(res["trials"], csv_path)
+    print(f"  wrote {csv_path}")
+    print(f"Reference flow: ~1,450 trials in 15-20 min -> "
+          f"this run projects {1450 / (n / wall) / 60:.2f} min for 1,450 trials")
+
+
+if __name__ == "__main__":
+    main()
