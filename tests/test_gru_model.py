@@ -179,3 +179,50 @@ def test_prefix_stripping():
     prefixed = {f"_orig_mod.module.{k}": v for k, v in sd.items()}
     back = params_from_state_dict(prefixed)
     np.testing.assert_allclose(np.asarray(params["out_w"]), back["out_w"])
+
+
+def test_full_size_checkpoint_parity(rng):
+    """Full reference shapes (512 feats, 5x768 GRU, 45 days): imported torch
+    weights reproduce torch logits to float32 precision — the
+    posterior-fidelity gate for the pretrained t15 checkpoint."""
+    import torch
+    from torch import nn
+
+    D, H, L, DAYS, C, PAT, STR = 512, 768, 5, 45, 41, 14, 4
+    torch.manual_seed(0)
+    gru = nn.GRU(input_size=D * PAT, hidden_size=H, num_layers=L, batch_first=True)
+    out_lin = nn.Linear(H, C)
+    day_w = [torch.eye(D) + 0.01 * torch.randn(D, D) for _ in range(DAYS)]
+    day_b = [0.01 * torch.randn(1, D) for _ in range(DAYS)]
+    h0 = 0.1 * torch.randn(1, 1, H)
+
+    sd = {}
+    for i in range(DAYS):
+        sd[f"day_weights.{i}"] = day_w[i]
+        sd[f"day_biases.{i}"] = day_b[i]
+    for l in range(L):
+        for n in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            sd[f"gru.{n}_l{l}"] = getattr(gru, f"{n}_l{l}").detach()
+    sd["out.weight"] = out_lin.weight.detach()
+    sd["out.bias"] = out_lin.bias.detach()
+    sd["h0"] = h0
+
+    params = params_from_state_dict(sd)
+    B, T = 2, 120
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    day_idx = np.array([3, 44])
+    ours = np.asarray(
+        forward(params, jnp.asarray(x), jnp.asarray(day_idx),
+                patch_size=PAT, patch_stride=STR)
+    )
+    with torch.no_grad():
+        xt = torch.tensor(x)
+        dw = torch.stack([day_w[i] for i in day_idx])
+        db = torch.cat([day_b[i] for i in day_idx]).unsqueeze(1)
+        h = nn.functional.softsign(torch.einsum("btd,bdk->btk", xt, dw) + db)
+        hu = (h.unsqueeze(1).permute(0, 3, 1, 2).unfold(3, PAT, STR)
+              .squeeze(2).permute(0, 2, 3, 1).reshape(B, -1, PAT * D))
+        o, _ = gru(hu, h0.expand(L, B, H).contiguous())
+        ref = (o @ out_lin.weight.T + out_lin.bias).numpy()
+    assert np.abs(ours - ref).max() < 1e-5
+    assert (np.argmax(ours, -1) == np.argmax(ref, -1)).all()
