@@ -32,35 +32,58 @@ def get_string_differences(cue: str, decoder_output: str):
     """Word-level minimum-edit alignment of decoder_output against cue.
 
     Returns (cost, path, indices_to_highlight) with path entries 'I'/'D'/'R'
-    or the matched word index — same contract as the reference (:273-310).
+    or the matched word index — same contract and tie-breaking
+    (insertion ≼ deletion ≼ substitution) as the reference (:273-310), but an
+    iterative DP instead of the memoized recursion (the recursive path
+    concatenation is quadratic and dominated finalize profiles).
     """
-    decoder_output_words = decoder_output.split()
-    cue_words = cue.split()
+    h = decoder_output.split()  # rows
+    r = cue.split()             # columns
+    I, J = len(h), len(r)
 
-    @lru_cache(None)
-    def align(i: int, j: int):
-        if i == 0:
-            return j, ("I",) * j
-        if j == 0:
-            return i, ("D",) * i
-        if decoder_output_words[i - 1] == cue_words[j - 1]:
-            cost, path = align(i - 1, j - 1)
-            return cost, path + (i - 1,)
-        ins_c, ins_p = align(i, j - 1)
-        del_c, del_p = align(i - 1, j)
-        sub_c, sub_p = align(i - 1, j - 1)
+    dp = np.empty((I + 1, J + 1), dtype=np.int32)
+    dp[0, :] = np.arange(J + 1)
+    dp[:, 0] = np.arange(I + 1)
+    for i in range(1, I + 1):
+        row = dp[i]
+        prev = dp[i - 1]
+        hi = h[i - 1]
+        for j in range(1, J + 1):
+            if hi == r[j - 1]:
+                row[j] = prev[j - 1]
+            else:
+                row[j] = 1 + min(row[j - 1], prev[j], prev[j - 1])
+
+    cost = int(dp[I, J])
+    # Forward path reconstruction == the recursion's choice order: at (i, j)
+    # the recursion prefers match, then insertion (j-1), deletion (i-1),
+    # substitution (i-1, j-1) — walk backward applying the same preferences.
+    rev = []
+    i, j = I, J
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and h[i - 1] == r[j - 1] and dp[i, j] == dp[i - 1, j - 1]:
+            rev.append(i - 1)
+            i -= 1
+            j -= 1
+            continue
+        ins_c = dp[i, j - 1] if j > 0 else np.iinfo(np.int32).max
+        del_c = dp[i - 1, j] if i > 0 else np.iinfo(np.int32).max
+        sub_c = dp[i - 1, j - 1] if (i > 0 and j > 0) else np.iinfo(np.int32).max
         if ins_c <= del_c and ins_c <= sub_c:
-            return ins_c + 1, ins_p + ("I",)
-        if del_c <= ins_c and del_c <= sub_c:
-            return del_c + 1, del_p + ("D",)
-        return sub_c + 1, sub_p + ("R",)
-
-    cost, path = align(len(decoder_output_words), len(cue_words))
-    path = [p for p in path if p != "I"]
+            rev.append("I")
+            j -= 1
+        elif del_c <= ins_c and del_c <= sub_c:
+            rev.append("D")
+            i -= 1
+        else:
+            rev.append("R")
+            i -= 1
+            j -= 1
+    path = [p for p in reversed(rev) if p != "I"]
 
     indices = []
     cur = 0
-    for label, word in zip(path, decoder_output_words):
+    for label, word in zip(path, h):
         if label in ("R", "D"):
             indices.append((cur, cur + len(word)))
         cur += len(word) + 1

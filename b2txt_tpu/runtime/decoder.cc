@@ -33,6 +33,7 @@
 
 namespace b2t {
 
+constexpr int kMaxCtx = 8;
 constexpr float kNegInf = -std::numeric_limits<float>::infinity();
 constexpr double kLog10 = 2.302585092994046;
 constexpr double kNoProb = -99.0 * kLog10;
@@ -295,6 +296,22 @@ struct Decoder {
   std::vector<Hyp> hyps;
   int n_frames = 0;
   bool pending_blank = false;
+  // per-utterance memo of n-gram lookups: beams revisit the same
+  // (context, word) pairs on nearly every frame
+  std::unordered_map<uint64_t, double> lm_cache;
+
+  double CachedLogP(const int* ctx, int ctx_len, int w) {
+    int key_ids[kMaxCtx + 1];
+    int n = 0;
+    for (int i = 0; i < ctx_len; ++i) key_ids[n++] = ctx[i];
+    key_ids[n++] = w;
+    uint64_t key = NGramLM::HashIds(key_ids, n);
+    auto it = lm_cache.find(key);
+    if (it != lm_cache.end()) return it->second;
+    double v = lm->LogP(ctx, ctx_len, w);
+    lm_cache.emplace(key, v);
+    return v;
+  }
 
   struct Key {
     int64_t a;
@@ -327,6 +344,7 @@ struct Decoder {
   void Reset() {
     arena.clear();
     arena_index.clear();
+    lm_cache.clear();
     hyps.clear();
     Hyp root;
     root.s = 0.0;
@@ -385,9 +403,13 @@ struct Decoder {
     int ctx[8];
     int ctx_len;
     const int V = lex->n_phones;
+    double window_cutoff = -std::numeric_limits<double>::infinity();
+    if (!hyps.empty() && opts.beam > 0)
+      window_cutoff = hyps.front().Score() - opts.beam;
 
     for (const Hyp& h : hyps) {
       double score = h.Score();
+      if (score < window_cutoff) continue;
       double ac = h.Ac();
       // blank / absorbed repeat (stay)
       merge(h.word_node, h.node, h.last, score + scale * lp[blank], kNegInf,
@@ -413,7 +435,7 @@ struct Decoder {
             int limit = std::min<int>(ws.size(), opts.max_homophones);
             for (int j = 0; j < limit; ++j) {
               double wlp =
-                  lm->LogP(ctx, ctx_len, ws[j]) + opts.length_penalty;
+                  CachedLogP(ctx, ctx_len, ws[j]) + opts.length_penalty;
               int wn = ArenaNode(ws[j], h.word_node);
               // swap lookahead for the true LM score; re-enter root lookahead
               double la_adj = la[0] - la[h.node];
@@ -513,14 +535,14 @@ struct Decoder {
       if (score == kNegInf) continue;
       if (h.node == 0) {
         Context(h.word_node, ctx, &ctx_len);
-        double e = lm->LogP(ctx, ctx_len, lm->eos);
+        double e = CachedLogP(ctx, ctx_len, lm->eos);
         cands.push_back({score + e, h.Ac(), h.lm_score + e, h.word_node, -1});
       } else {
         const auto& ws = lex->words_at[h.node];
         Context(h.word_node, ctx, &ctx_len);
         int limit = std::min<int>(ws.size(), opts.max_homophones);
         for (int j = 0; j < limit; ++j) {
-          double wlp = lm->LogP(ctx, ctx_len, ws[j]) + opts.length_penalty;
+          double wlp = CachedLogP(ctx, ctx_len, ws[j]) + opts.length_penalty;
           // shift context for </s>
           int ctx2[8];
           int n2 = std::min(ctx_len + 1, lm->order - 1);
@@ -529,7 +551,7 @@ struct Decoder {
             int idx = src_start + i;
             ctx2[i] = (idx < ctx_len) ? ctx[idx] : ws[j];
           }
-          double e = lm->LogP(ctx2, n2, lm->eos);
+          double e = CachedLogP(ctx2, n2, lm->eos);
           // lookahead cancellation so all final candidates share la[0]
           double la_adj = la[0] - la[h.node];
           cands.push_back({score + wlp + la_adj + e, h.Ac(),
