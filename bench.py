@@ -19,10 +19,21 @@ Baseline: the reference decodes ~1,450 trials in 15–20 min on an RTX 4090
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: remote (axon) compiles of scan-heavy
+# programs are slow and high-variance; cache hits make re-runs fast.
+os.makedirs(os.path.expanduser("~/.cache/jax_comp_cache"), exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_SENTENCES_PER_SEC = 1450 / (17.5 * 60)  # mid of the 15–20 min window
 
