@@ -105,30 +105,32 @@ class HashTable:
 
 
 def _lookup(table, h1, h2, not_found: float):
-    """Probe table for key (h1, h2). Returns (value, backoff, found)."""
+    """Probe table for key (h1, h2). Returns (value, backoff, found).
+
+    All MAX_PROBES linear-probe slots are gathered at once (one vector gather
+    instead of a sequential fori_loop — the serialized version dominated the
+    fused beam search's per-frame latency). Tables never delete, so a probe
+    chain ends at the first empty slot: hits past it are masked out.
+    """
     key1, key2, value, backoff = table
     mask = key1.shape[0] - 1
     h1 = jnp.where((h1 == 0) & (h2 == 0), jnp.uint32(1), h1)
     slot0 = (h1 & jnp.uint32(mask)).astype(jnp.int32)
 
-    def body(i, carry):
-        found, done, v, b = carry
-        slot = (slot0 + i) & mask
-        k1 = key1[slot]
-        k2 = key2[slot]
-        hit = (k1 == h1) & (k2 == h2)
-        empty = (k1 == 0) & (k2 == 0)
-        v = jnp.where(hit & ~done, value[slot], v)
-        b = jnp.where(hit & ~done, backoff[slot], b)
-        found = found | (hit & ~done)
-        done = done | hit | empty
-        return found, done, v, b
-
-    found, _, v, b = jax.lax.fori_loop(
-        0, MAX_PROBES, body,
-        (jnp.bool_(False), jnp.bool_(False),
-         jnp.float32(not_found), jnp.float32(0.0)),
-    )
+    probes = jnp.arange(MAX_PROBES, dtype=jnp.int32)
+    slots = (slot0[..., None] + probes) & mask          # (..., P)
+    k1 = key1[slots]
+    k2 = key2[slots]
+    hit = (k1 == h1[..., None]) & (k2 == h2[..., None])
+    empty = (k1 == 0) & (k2 == 0)
+    # valid up to (and excluding) the first empty slot
+    before_empty = jnp.cumsum(empty.astype(jnp.int32), axis=-1) == 0
+    hit = hit & before_empty
+    found = jnp.any(hit, axis=-1)
+    idx = jnp.argmax(hit, axis=-1)
+    chosen = jnp.take_along_axis(slots, idx[..., None], axis=-1)[..., 0]
+    v = jnp.where(found, value[chosen], jnp.float32(not_found))
+    b = jnp.where(found, backoff[chosen], 0.0)
     return v, b, found
 
 
