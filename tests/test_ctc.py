@@ -105,3 +105,28 @@ def test_greedy_decode_and_collapse():
         np.asarray(greedy_decode_ids(logits, np.array([5]))), np.array([5])
     )
     assert collapsed[0] == [1, 2]
+
+
+def test_ctc_zero_length_target(rng):
+    """Empty target: loss = -sum log P(blank) over valid frames (torch parity)."""
+    B, T, C = 2, 10, 5
+    log_probs = rng.standard_normal((B, T, C)).astype(np.float32)
+    log_probs -= np.log(np.exp(log_probs).sum(-1, keepdims=True))
+    targets = np.zeros((B, 3), np.int32)
+    tl = np.array([0, 2], np.int32)
+    targets[1, :2] = [1, 2]
+    il = np.array([10, 10], np.int32)
+    ours = np.asarray(ctc_loss(log_probs, targets, il, tl))
+    ref = _torch_ctc(log_probs, targets, il, tl)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_impossible_alignment():
+    """Target longer than CTC can fit in the input -> huge/infinite loss."""
+    B, T, C = 1, 4, 5
+    log_probs = np.full((B, T, C), np.log(1.0 / C), np.float32)
+    targets = np.array([[1, 1, 1]], np.int32)  # repeats need blanks: needs T>=5
+    tl = np.array([3], np.int32)
+    il = np.array([4], np.int32)
+    ours = float(ctc_loss(log_probs, targets, il, tl)[0])
+    assert ours > 1e20  # torch returns inf; we return the finite stand-in
