@@ -69,6 +69,8 @@ class HashTable:
     value: np.ndarray
     backoff: np.ndarray
 
+    max_probe: int = 1
+
     @classmethod
     def build(cls, entries: Dict[Tuple[int, ...], Tuple[float, float]]) -> "HashTable":
         n = max(len(entries), 1)
@@ -80,27 +82,32 @@ class HashTable:
         value = np.zeros(size, np.float32)
         backoff = np.zeros(size, np.float32)
         mask = size - 1
+        max_probe = 1
         for ids, (v, b) in entries.items():
             h1, h2 = hash_ids_np(ids)
             if h1 == 0 and h2 == 0:
                 h1 = np.uint32(1)
             slot = int(h1) & mask
-            for _ in range(size):
+            for probe in range(size):
                 if key1[slot] == 0 and key2[slot] == 0:
                     key1[slot] = h1 if (h1 or h2) else 1
                     key2[slot] = h2
                     value[slot] = v
                     backoff[slot] = b
+                    max_probe = max(max_probe, probe + 1)
                     break
                 if key1[slot] == h1 and key2[slot] == h2:
                     break  # duplicate hash (collision) — keep first
                 slot = (slot + 1) & mask
-        return cls(key1, key2, value, backoff)
+        return cls(key1, key2, value, backoff, max_probe)
 
     def as_device(self):
+        # max_probe rides along as a static int: lookups gather exactly the
+        # longest real probe chain instead of a worst-case constant.
         return (
             jnp.asarray(self.key1), jnp.asarray(self.key2),
             jnp.asarray(self.value), jnp.asarray(self.backoff),
+            int(self.max_probe),
         )
 
 
@@ -112,12 +119,12 @@ def _lookup(table, h1, h2, not_found: float):
     fused beam search's per-frame latency). Tables never delete, so a probe
     chain ends at the first empty slot: hits past it are masked out.
     """
-    key1, key2, value, backoff = table
+    key1, key2, value, backoff, max_probe = table
     mask = key1.shape[0] - 1
     h1 = jnp.where((h1 == 0) & (h2 == 0), jnp.uint32(1), h1)
     slot0 = (h1 & jnp.uint32(mask)).astype(jnp.int32)
 
-    probes = jnp.arange(MAX_PROBES, dtype=jnp.int32)
+    probes = jnp.arange(max_probe, dtype=jnp.int32)  # true per-table bound
     slots = (slot0[..., None] + probes) & mask          # (..., P)
     k1 = key1[slots]
     k2 = key2[slots]
