@@ -30,11 +30,14 @@ def build_sharded_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     compute_dtype=jnp.float32,
+    trainable_mask: Optional[Dict[str, Any]] = None,
 ):
     """Returns (step_fn, place_params, place_batch).
 
-    step_fn(params, opt_state, key, batch) -> (params, opt_state, loss) with
-    explicit input/output shardings so the compiled program is fully SPMD.
+    step_fn(params, opt_state, key, batch) -> (params, opt_state, loss,
+    grad_norm) with explicit input/output shardings so the compiled program is
+    fully SPMD. ``trainable_mask`` zeroes updates for frozen parameters
+    (rnn_trainable / input_trainable semantics).
     """
     targs = TransformArgs.from_config(cfg.dataset.data_transforms)
 
@@ -69,9 +72,14 @@ def build_sharded_train_step(
 
     def step(params, opt_state, key, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, key, batch)
+        if trainable_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+            )
+        grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, grad_norm
 
     opt_state_proto = jax.eval_shape(tx.init, params)
     # Optimizer-state leaves that mirror a param shape (adam mu/nu) take that
@@ -93,7 +101,7 @@ def build_sharded_train_step(
     step_jit = jax.jit(
         step,
         in_shardings=(p_shard, opt_shard, repl, b_shard),
-        out_shardings=(p_shard, opt_shard, repl),
+        out_shardings=(p_shard, opt_shard, repl, repl),
         donate_argnums=(0, 1),
     )
 

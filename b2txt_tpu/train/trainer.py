@@ -40,8 +40,13 @@ from .optimizer import make_optimizer, trainability_mask
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig, logger=None):
+    def __init__(self, cfg: TrainConfig, logger=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
+        enables the SPMD train step (DP batch sharding + TP of the GRU gate
+        dimension, parallel/dp.py). cfg.dataset.batch_size must be divisible
+        by the data axis."""
         self.cfg = cfg
+        self.mesh = mesh
         self.logger = logger or make_logger(
             "b2txt_tpu.train",
             os.path.join(cfg.output_dir, "training_log") if cfg.mode == "train" else None,
@@ -122,7 +127,38 @@ class Trainer:
         if cfg.init_from_checkpoint:
             self.load(cfg.init_checkpoint_path)
 
-        self._train_step = self._build_train_step()
+        if mesh is not None:
+            from ..parallel.dp import build_sharded_train_step
+
+            data_axis = mesh.shape["data"]
+            if cfg.dataset.batch_size % data_axis != 0:
+                raise ValueError(
+                    f"batch_size {cfg.dataset.batch_size} not divisible by "
+                    f"data axis {data_axis}"
+                )
+            sharded_step, place_params, _ = build_sharded_train_step(
+                cfg, self.params, self.tx, mesh,
+                compute_dtype=self.compute_dtype,
+                trainable_mask=self.train_mask,
+            )
+            self.params = place_params(self.params)
+            self.opt_state = self.tx.init(self.params)
+
+            def step(params, opt_state, key, feats, labels, n_time, lab_lens, day_idx):
+                batch = {
+                    "input_features": feats, "seq_class_ids": labels,
+                    "n_time_steps": n_time, "phone_seq_lens": lab_lens,
+                    "day_indicies": day_idx,
+                }
+                return sharded_step(params, opt_state, key, batch)
+
+            self._train_step = step
+            self.logger.info(
+                f"SPMD training over mesh data={mesh.shape['data']} "
+                f"model={mesh.shape['model']}"
+            )
+        else:
+            self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------ steps

@@ -57,10 +57,10 @@ def test_sharded_step_runs(rng, model_parallel):
     p = place_params(params)
     opt_state = tx.init(p)
     batch = place_batch(_batch(rng))
-    p2, opt_state, loss = step(p, opt_state, jax.random.PRNGKey(1), batch)
+    p2, opt_state, loss, gnorm = step(p, opt_state, jax.random.PRNGKey(1), batch)
     assert np.isfinite(float(loss))
     # a second step with the updated state also runs
-    p3, opt_state, loss2 = step(p2, opt_state, jax.random.PRNGKey(2), batch)
+    p3, opt_state, loss2, _ = step(p2, opt_state, jax.random.PRNGKey(2), batch)
     assert np.isfinite(float(loss2))
 
 
@@ -82,13 +82,13 @@ def test_sharded_matches_single_device(rng):
     step1, pp1, pb1 = build_sharded_train_step(cfg, params, tx, mesh1)
     p1 = pp1(params)
     o1 = tx.init(p1)
-    p1b, o1b, loss1 = step1(p1, o1, jax.random.PRNGKey(5), pb1(batch_np))
+    p1b, o1b, loss1, _ = step1(p1, o1, jax.random.PRNGKey(5), pb1(batch_np))
 
     mesh = make_mesh(8, model_parallel=2)
     step8, pp8, pb8 = build_sharded_train_step(cfg, params, tx, mesh)
     p8 = pp8(params)
     o8 = tx.init(p8)
-    p8b, o8b, loss8 = step8(p8, o8, jax.random.PRNGKey(5), pb8(batch_np))
+    p8b, o8b, loss8, _ = step8(p8, o8, jax.random.PRNGKey(5), pb8(batch_np))
 
     np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
     np.testing.assert_allclose(
@@ -108,4 +108,40 @@ def test_params_actually_sharded(rng):
     w = sharded["layers"][0]["w_hh"]
     shard_shapes = {s.data.shape for s in w.addressable_shards}
     assert shard_shapes == {(w.shape[0] // 4, w.shape[1])}
+    assert len(w.sharding.device_set) == 8
+
+
+def test_trainer_with_mesh(rng, tmp_path):
+    """Trainer(mesh=...) trains SPMD end-to-end on the virtual mesh."""
+    from b2txt_tpu.data import synthetic
+    from b2txt_tpu.train import Trainer
+    from b2txt_tpu.utils import TrainConfig
+
+    sessions = ["t15.2023.08.11", "t15.2023.08.13"]
+    synthetic.write_synthetic_sessions(str(tmp_path), sessions,
+                                       trials_per_session=8, neural_dim=16)
+    cfg = _tiny_cfg()
+    cfg.dataset.neural_dim = 16
+    cfg.dataset.sessions = sessions
+    cfg.dataset.dataset_probability_val = [1, 1]
+    cfg.dataset.batch_size = 8
+    cfg.dataset.days_per_batch = 2
+    cfg.dataset.dataset_dir = str(tmp_path)
+    cfg.num_training_batches = 10
+    cfg.lr_decay_steps = cfg.lr_decay_steps_day = 10
+    cfg.lr_warmup_steps = cfg.lr_warmup_steps_day = 2
+    cfg.batches_per_train_log = 5
+    cfg.batches_per_val_step = 100  # skip validation
+    cfg.use_amp = False
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.checkpoint_dir = str(tmp_path / "out" / "ckpt")
+
+    mesh = make_mesh(8, model_parallel=2)
+    trainer = Trainer(cfg, mesh=mesh)
+    stats = trainer.train()
+    losses = stats["train_losses"]
+    assert len(losses) == 10 and np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 1.5  # sane trajectory
+    # params remained sharded across the mesh
+    w = trainer.params["layers"][0]["w_hh"]
     assert len(w.sharding.device_set) == 8
