@@ -30,26 +30,7 @@ def _logaddexp3(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
     return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
-@functools.partial(jax.jit, static_argnames=("blank",))
-def ctc_loss(
-    log_probs: jax.Array,
-    targets: jax.Array,
-    input_lengths: jax.Array,
-    target_lengths: jax.Array,
-    blank: int = 0,
-) -> jax.Array:
-    """Per-sample CTC negative log-likelihood.
-
-    Args:
-      log_probs: (B, T, C) log-softmax outputs.
-      targets: (B, S) int labels, padded arbitrarily past target_lengths.
-      input_lengths: (B,) valid time steps per sample.
-      target_lengths: (B,) valid labels per sample.
-      blank: blank id (reference uses 0).
-
-    Returns (B,) losses. Impossible alignments (input too short) yield +inf-like
-    large values, matching torch with zero_infinity=False.
-    """
+def _ctc_setup(log_probs, targets, input_lengths, target_lengths, blank):
     B, T, C = log_probs.shape
     S = targets.shape[1]
     L = 2 * S + 1
@@ -69,6 +50,16 @@ def ctc_loss(
     # Skip transition s-2 → s allowed when z_s is a label differing from z_{s-2}.
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :L]
     skip_ok = is_label & (pos >= 2) & (ext != ext_m2)
+    return ext, pos, within, skip_ok, input_lengths, target_lengths
+
+
+def _ctc_forward(log_probs, targets, input_lengths, target_lengths, blank,
+                 keep_alphas: bool):
+    B, T, C = log_probs.shape
+    ext, pos, within, skip_ok, input_lengths, target_lengths = _ctc_setup(
+        log_probs, targets, input_lengths, target_lengths, blank
+    )
+    L = ext.shape[1]
 
     # Initial alpha: positions 0 (blank) and 1 (first label) at t=0 get log_probs.
     lp0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)  # (B, L)
@@ -84,10 +75,13 @@ def ctc_loss(
         new = jnp.where(within, new, NEG_INF)
         # Freeze once past this sample's input length.
         active = (t < input_lengths)[:, None]
-        return jnp.where(active, new, alpha), None
+        new = jnp.where(active, new, alpha)
+        return new, (new if keep_alphas else None)
 
     ts = jnp.arange(1, T, dtype=jnp.int32)
-    alpha, _ = jax.lax.scan(step, alpha0, (ts, jnp.moveaxis(log_probs[:, 1:, :], 1, 0)))
+    alpha, alphas_rest = jax.lax.scan(
+        step, alpha0, (ts, jnp.moveaxis(log_probs[:, 1:, :], 1, 0))
+    )
 
     # Loss = -logadd(alpha[2*len], alpha[2*len-1]); handle len==0 (blank-only path).
     last = 2 * target_lengths
@@ -100,7 +94,115 @@ def ctc_loss(
     m_safe = jnp.maximum(m, NEG_INF)
     total = m_safe + jnp.log(jnp.exp(a_last - m_safe) + jnp.exp(a_prev - m_safe))
     total = jnp.where(m <= NEG_INF, NEG_INF, total)
-    return -total
+
+    alphas = None
+    if keep_alphas:
+        alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # (T, B, L)
+    return -total, total, alphas, ext, within, skip_ok, input_lengths, target_lengths
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_loss_vjp(log_probs, targets, input_lengths, target_lengths, blank):
+    losses, *_ = _ctc_forward(
+        log_probs, targets, input_lengths, target_lengths, blank, False
+    )
+    return losses
+
+
+def _ctc_vjp_fwd(log_probs, targets, input_lengths, target_lengths, blank):
+    losses, total, alphas, ext, within, skip_ok, il, tl = _ctc_forward(
+        log_probs, targets, input_lengths, target_lengths, blank, True
+    )
+    return losses, (log_probs, total, alphas, ext, within, skip_ok, il, tl)
+
+
+def _ctc_vjp_bwd(blank, res, g):
+    """Analytic gradient via the beta (backward) recursion:
+    d(-log p)/d lp[t,k] = -Σ_{s: ext[s]=k} exp(alpha_t(s) + beta_t(s) − log p),
+    with beta defined excluding the emission at t. One backward scan instead
+    of autodiff replaying the forward (the CTC term was ~40% of the train
+    step; this halves it)."""
+    log_probs, total, alphas, ext, within, skip_ok, il, tl = res
+    B, T, C = log_probs.shape
+    L = ext.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    # beta init at t = len-1: positions 2*len and 2*len-1 get 0.
+    end = 2 * tl
+    init_beta = jnp.where(
+        (pos == end[:, None]) | ((pos == end[:, None] - 1) & (tl[:, None] > 0)),
+        0.0, NEG_INF,
+    )
+    # mask for s → s+2 backward transitions: allowed iff skip_ok at s+2
+    skip_shift = jnp.pad(skip_ok, ((0, 0), (0, 2)))[:, 2:]
+
+    # valid posterior only when the alignment is feasible; the 1/p factor is
+    # already inside exp(alpha + beta - total)
+    ok = total > NEG_INF / 2
+    scale = jnp.where(ok, g, 0.0)
+
+    lp_tm = jnp.moveaxis(log_probs, 1, 0)  # (T, B, C)
+
+    def step(beta_next, inputs):
+        t, lp_t1, alpha_t = inputs
+        # q = beta_{t+1} + emit_{t+1}; lp_t1 is log_probs at t+1 (or dummy at T-1)
+        q = beta_next + jnp.take_along_axis(lp_t1, ext, axis=1)
+        q1 = jnp.pad(q, ((0, 0), (0, 1)), constant_values=NEG_INF)[:, 1:]
+        q2 = jnp.pad(q, ((0, 0), (0, 2)), constant_values=NEG_INF)[:, 2:]
+        q2 = jnp.where(skip_shift, q2, NEG_INF)
+        rec = _logaddexp3(q, q1, q2)
+        is_last = (t == il - 1)[:, None]
+        before = (t < il - 1)[:, None]
+        beta = jnp.where(is_last, init_beta, jnp.where(before, rec, NEG_INF))
+        beta = jnp.where(within, beta, NEG_INF)
+
+        # posterior weight over extended-label positions (projected to class
+        # space AFTER the scan — a per-step scatter serializes on TPU)
+        w = jnp.exp(jnp.clip(alpha_t + beta - total[:, None], NEG_INF, 0.0))
+        w = jnp.where(within & ((t < il)[:, None]), w, 0.0)
+        return beta, w
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    # lp at t+1 for each t (dummy row at the end; masked by is_last init)
+    lp_next = jnp.concatenate([lp_tm[1:], lp_tm[-1:]], axis=0)
+    beta_init = jnp.full((B, L), NEG_INF)
+    _, w_rev = jax.lax.scan(
+        step, beta_init,
+        (ts, lp_next[::-1], jnp.flip(alphas, axis=0)),
+    )
+    w_all = jnp.moveaxis(w_rev[::-1], 0, 1)  # (B, T, L)
+    onehot = jax.nn.one_hot(ext, C, dtype=log_probs.dtype)  # (B, L, C)
+    d_lp = -jnp.einsum(
+        "btl,blc->btc", w_all, onehot, preferred_element_type=log_probs.dtype
+    ) * scale[:, None, None]
+    return d_lp, None, None, None
+
+
+_ctc_loss_vjp.defvjp(_ctc_vjp_fwd, _ctc_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("blank",))
+def ctc_loss(
+    log_probs: jax.Array,
+    targets: jax.Array,
+    input_lengths: jax.Array,
+    target_lengths: jax.Array,
+    blank: int = 0,
+) -> jax.Array:
+    """Per-sample CTC negative log-likelihood.
+
+    Args:
+      log_probs: (B, T, C) log-softmax outputs.
+      targets: (B, S) int labels, padded arbitrarily past target_lengths.
+      input_lengths: (B,) valid time steps per sample.
+      target_lengths: (B,) valid labels per sample.
+      blank: blank id (reference uses 0).
+
+    Returns (B,) losses. Impossible alignments (input too short) yield +inf-like
+    large values, matching torch with zero_infinity=False. Gradients come from
+    the analytic alpha-beta recursion (custom VJP).
+    """
+    return _ctc_loss_vjp(log_probs, targets, input_lengths, target_lengths, blank)
 
 
 def ctc_loss_from_logits(
