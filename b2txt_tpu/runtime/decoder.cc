@@ -257,6 +257,8 @@ struct Options {
   int nbest = 100;
   int beam_width = 128;
   int max_homophones = 4;
+  int first_beam = 0;          // restrict phone extensions to the frame's
+                               // top-k phones (0 = all); SIL always kept
 };
 
 struct Decoder {
@@ -403,6 +405,17 @@ struct Decoder {
     int ctx[8];
     int ctx_len;
     const int V = lex->n_phones;
+    // first-beam prune: threshold at the k-th best phone log-prob this frame
+    float fb_thresh = -std::numeric_limits<float>::infinity();
+    if (opts.first_beam > 0 && opts.first_beam < V - 2) {
+      std::vector<float> vals;
+      vals.reserve(V - 2);
+      for (int c = 1; c < V; ++c)
+        if (c != sil) vals.push_back(lp[c]);
+      std::nth_element(vals.begin(), vals.begin() + opts.first_beam - 1,
+                       vals.end(), std::greater<float>());
+      fb_thresh = vals[opts.first_beam - 1];
+    }
     double window_cutoff = -std::numeric_limits<double>::infinity();
     if (!hyps.empty() && opts.beam > 0)
       window_cutoff = hyps.front().Score() - opts.beam;
@@ -420,6 +433,7 @@ struct Decoder {
       }
       // extensions
       for (int c = 1; c < V; ++c) {
+        if (c != sil && lp[c] < fb_thresh) continue;
         double base = (c == h.last) ? h.s : score;
         double ac_base = (c == h.last) ? h.ac_s : ac;
         if (base == kNegInf) continue;
@@ -611,7 +625,8 @@ void b2t_reset(void* p) { static_cast<B2TDecoder*>(p)->dec->Reset(); }
 
 void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
                  double blank_skip_thresh, double length_penalty, int nbest,
-                 int beam_width, double beam, int max_homophones) {
+                 int beam_width, double beam, int max_homophones,
+                 int first_beam) {
   auto& o = static_cast<B2TDecoder*>(p)->dec->opts;
   o.acoustic_scale = acoustic_scale;
   o.blank_penalty = blank_penalty;
@@ -621,6 +636,7 @@ void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
   o.beam_width = beam_width;
   o.beam = beam;
   o.max_homophones = max_homophones;
+  o.first_beam = first_beam;
 }
 
 void b2t_decode(void* p, const float* logprobs, int T, int C) {
