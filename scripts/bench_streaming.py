@@ -80,28 +80,41 @@ def main() -> None:
     amortized_us = 1e6 * (time.perf_counter() - t0) / (4 * N)
 
     # incremental LM decode latency per frame (native C++)
-    from tests.test_native_decoder import CORPUS, LEX, clean_logprobs  # fixtures
     import os
     import tempfile
 
+    from b2txt_tpu.data import synthetic
     from b2txt_tpu.lm import Lexicon, train_ngram
+    from b2txt_tpu.lm.lexicon import strip_stress
     from b2txt_tpu.runtime import NativeLexiconBeamSearch
     from b2txt_tpu.utils.config import DecodeConfig
 
-    lm = train_ngram(CORPUS, order=3)
+    prons = synthetic.word_pronunciations()
+    lm = train_ngram(synthetic.sentence_corpus(100), order=3)
     tmp = tempfile.mkdtemp()
     arpa = os.path.join(tmp, "lm.arpa")
     lm.to_arpa(arpa)
     lexp = os.path.join(tmp, "lexicon.txt")
     with open(lexp, "w") as f:
-        for wd, pron in LEX.items():
-            f.write(f"{wd.upper()}  {' '.join(pron)}\n")
+        for wd, pron in prons.items():
+            f.write(f"{wd.upper()}  {' '.join(strip_stress(pron))}\n")
     dec = NativeLexiconBeamSearch(
         arpa, lexp, DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0,
                                  nbest=5, beam_width=128)
     )
-    lexicon = Lexicon.from_words(LEX)
-    lp = clean_logprobs(lexicon.sentence_to_phonemes("the cat sat on the mat"))
+    lexicon = Lexicon.from_words(prons)
+    ids = lexicon.sentence_to_phonemes("hello world brain text")
+    frames = []
+    for pid in ids:
+        for _ in range(3):
+            row = np.full(41, -8.0, np.float32)
+            row[pid] = 0.0
+            frames.append(row)
+        blank = np.full(41, -8.0, np.float32)
+        blank[0] = 0.0
+        frames.append(blank)
+    lp = np.stack(frames)
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
     dec.reset()
     lm_lat = []
     for t in range(lp.shape[0]):
