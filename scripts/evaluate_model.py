@@ -45,15 +45,15 @@ def main() -> None:
 
     ckpt_path = os.path.join(args.model_path, "checkpoint", "best_checkpoint")
     args_yaml = os.path.join(args.model_path, "checkpoint", "args.yaml")
-    if os.path.exists(ckpt_path):
+    cfg = TrainConfig.load(args_yaml)
+    try:
         params = load_checkpoint(ckpt_path)["params"]
-        cfg = TrainConfig.load(args_yaml)
-    else:  # reference torch layout
+    except Exception:
+        # reference torch checkpoint (zip/pickle protocol differs)
         from b2txt_tpu.models import load_torch_checkpoint
 
-        ckpt_path = os.path.join(args.model_path, "checkpoint", "best_checkpoint")
         params = load_torch_checkpoint(ckpt_path)
-        cfg = TrainConfig.load(args_yaml)
+        print(f"Loaded reference PyTorch checkpoint: {ckpt_path}")
 
     decoder = None
     if args.lm_dir:
