@@ -159,7 +159,20 @@ class LexiconBeamSearch:
         cfg = self.config
         scale = cfg.acoustic_scale
         next_hyps: Dict[Key, LmHyp] = {}
-        beam_thresh = None
+
+        # first-beam prune: restrict phone extensions to this frame's top-k
+        # phones (threshold at the k-th best non-blank/non-SIL log-prob; SIL
+        # always kept) — the reference first-pass beam, mirrored by the C++
+        # (decoder.cc Step) and device (lmbeam_jax._expand) searchers.
+        V = lp.shape[0]
+        fb = cfg.first_beam_size
+        fb_thresh = NEG_INF
+        if fb > 0 and fb < V - 2:
+            vals = sorted(
+                (float(lp[c]) for c in range(1, V) if c != self.sil),
+                reverse=True,
+            )
+            fb_thresh = vals[fb - 1]
 
         for (words, node, last), h in self.hyps.items():
             score = h.score
@@ -184,6 +197,8 @@ class LexiconBeamSearch:
             # ---- extend with a new (or blank-separated repeated) symbol ----
             for c in range(1, lp.shape[0]):
                 lc = float(lp[c])
+                if c != self.sil and lc < fb_thresh:
+                    continue
                 base = h.s if c == last else score            # ranking base
                 ac_base = h.ac_s if c == last else ac
                 if base == NEG_INF:

@@ -26,6 +26,7 @@ from ..ops.ctc import greedy_decode_ids
 from ..ops.smoothing import gauss_smooth, gaussian_kernel
 from ..serve.service import DecoderService, FinalOutput
 from ..utils.config import TrainConfig
+from ..utils.g2p import sentence_to_phoneme_ids
 from ..utils.metrics import calculate_aggregate_error_rate, edit_distance
 from ..utils.phonemes import LOGIT_TO_PHONEME, greedy_collapse, remove_punctuation
 
@@ -166,7 +167,12 @@ def evaluate_sessions(
 
     out: Dict = {"trials": trials, "eval_type": eval_type}
 
-    # Greedy aggregate PER over trials with labels
+    # Greedy aggregate PER over trials with labels. Trials carrying only a
+    # transcript get a g2p-derived phoneme reference (the reference computes
+    # PER targets for arbitrary text via g2p_en — general_utils.py:51-74).
+    for t in trials:
+        if t.true_ids is None and t.sentence_label:
+            t.true_ids = sentence_to_phoneme_ids(t.sentence_label)
     labeled = [t for t in trials if t.true_ids is not None]
     if labeled:
         total_ed = sum(edit_distance(t.true_ids, t.decoded_ids) for t in labeled)
@@ -181,11 +187,15 @@ def evaluate_sessions(
             s: e / max(l, 1) for s, (e, l) in day_per.items()
         }
 
-    # LM decode → sentences + aggregate WER
+    # LM decode → sentences + aggregate WER. decode_utterances runs the whole
+    # set through the batched device scan when the service uses the device
+    # backend; other backends decode serially.
     if decoder is not None:
         t0 = time.time()
-        for t in trials:
-            final: FinalOutput = decoder.decode_utterance(t.logits)
+        finals: List[FinalOutput] = decoder.decode_utterances(
+            [t.logits for t in trials]
+        )
+        for t, final in zip(trials, finals):
             t.decoded_sentence = final.sentence
         out["lm_decode_time"] = time.time() - t0
         out["sentences_per_sec"] = len(trials) / max(out["lm_decode_time"], 1e-9)

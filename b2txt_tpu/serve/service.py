@@ -18,6 +18,7 @@ order [BLANK, phones..., SIL]; the service permutes internally.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
@@ -87,8 +88,56 @@ class FinalOutput:
         return cls(sentence=deduped[0][0] if deduped else "", nbest=deduped)
 
 
+def _make_searcher(
+    backend: str,
+    lexicon: Lexicon,
+    lm: NGramLM,
+    config: DecodeConfig,
+    arpa_path: Optional[str],
+    lexicon_path: Optional[str],
+):
+    """Construct the requested searcher backend (all three share the
+    reset/decode/finish_decoding/result/set_opt protocol and are
+    cross-parity-tested — tests/test_searcher_crosscheck.py)."""
+    if backend == "python":
+        return LexiconBeamSearch(lexicon, lm, config)
+    if backend == "device":
+        from ..decode.lmbeam_jax import DeviceLexiconBeamSearch
+
+        return DeviceLexiconBeamSearch(lexicon, lm, config)
+    if backend == "native":
+        from ..runtime import NativeLexiconBeamSearch
+
+        if arpa_path is None or lexicon_path is None:
+            # dump the in-memory LM/lexicon for the C++ loader
+            import tempfile
+
+            from ..utils.phonemes import LOGIT_TO_PHONEME
+
+            tmp = tempfile.mkdtemp(prefix="b2t_native_")
+            if arpa_path is None:
+                arpa_path = os.path.join(tmp, "lm.arpa")
+                lm.to_arpa(arpa_path)
+            if lexicon_path is None:
+                lexicon_path = os.path.join(tmp, "lexicon.txt")
+                with open(lexicon_path, "w") as f:
+                    for w, wid in lexicon.word_ids.items():
+                        for pron in lexicon.prons[wid]:
+                            phones = " ".join(LOGIT_TO_PHONEME[p] for p in pron)
+                            f.write(f"{w.upper()}  {phones}\n")
+        return NativeLexiconBeamSearch(arpa_path, lexicon_path, config)
+    raise ValueError(
+        f"searcher_backend must be 'python', 'native' or 'device', got {backend!r}"
+    )
+
+
 class DecoderService:
-    """reset / update_params / decode_chunk / finalize over a fused beam search."""
+    """reset / update_params / decode_chunk / finalize over a fused beam search.
+
+    ``searcher_backend`` selects the engine: "native" (C++ host decoder — the
+    production default for host decoding), "device" (TPU-resident batched
+    searcher), or "python" (the oracle; slow, for tests/small vocab).
+    """
 
     def __init__(
         self,
@@ -98,11 +147,17 @@ class DecoderService:
         rescore_lm: Optional[NGramLM] = None,
         llm: Optional[LLMScorer] = None,
         channel_order: str = "lm",
+        searcher_backend: str = "python",
+        arpa_path: Optional[str] = None,
+        lexicon_path: Optional[str] = None,
     ):
         if channel_order not in ("lm", "model"):
             raise ValueError(f"channel_order must be 'lm' or 'model', got {channel_order!r}")
         self.config = config or DecodeConfig()
-        self.searcher = LexiconBeamSearch(lexicon, lm, self.config)
+        self.searcher_backend = searcher_backend
+        self.searcher = _make_searcher(
+            searcher_backend, lexicon, lm, self.config, arpa_path, lexicon_path
+        )
         self.rescore_lm = rescore_lm
         self.llm = llm
         self.channel_order = channel_order
@@ -139,9 +194,17 @@ class DecoderService:
         return res[0].sentence if res else ""
 
     def finalize(self) -> FinalOutput:
-        cfg = self.config
         t0 = time.time()
         results = self.searcher.finish_decoding()
+        final = self._finalize_results(results)
+        self.stats["finalize_time"] = time.time() - t0
+        LOG.info(f"Final:  {final.sentence}")
+        return final
+
+    def _finalize_results(self, results: List[DecodeResult]) -> FinalOutput:
+        """Post-search pipeline (rescore → augment → LLM) for one utterance's
+        n-best list — shared by the streaming and batched paths."""
+        cfg = self.config
         nbest = results_to_nbest(results)
 
         if cfg.rescore and self.rescore_lm is not None and nbest:
@@ -181,9 +244,6 @@ class DecoderService:
         else:
             LOG.error("No output from language model.")
             final = FinalOutput(sentence="", nbest=[], context=self.context)
-
-        self.stats["finalize_time"] = time.time() - t0
-        LOG.info(f"Final:  {final.sentence}")
         return final
 
     # -------------------------------------------------------------- helpers
@@ -197,3 +257,27 @@ class DecoderService:
             for i in range(0, logits.shape[0], chunk):
                 self.decode_chunk(logits[i : i + chunk])
         return self.finalize()
+
+    def decode_utterances(self, logits_list: Sequence[np.ndarray]) -> List[FinalOutput]:
+        """Decode many utterances. With the device backend the whole set runs
+        through the batched TPU scan (DeviceLexiconBeamSearch.decode_batch);
+        other backends decode serially."""
+        searcher = self.searcher
+        if self.searcher_backend != "device" or not hasattr(searcher, "decode_batch"):
+            return [self.decode_utterance(l) for l in logits_list]
+
+        prepped = []
+        for logits in logits_list:
+            logits = np.asarray(logits, np.float32).reshape(-1, 41)
+            if self.channel_order == "lm":
+                logits = lm_order_to_model_order(logits)
+            x = logits - logits.max(axis=-1, keepdims=True)
+            prepped.append(x - np.log(np.exp(x).sum(-1, keepdims=True)))
+        T = max(p.shape[0] for p in prepped)
+        lp = np.full((len(prepped), T, 41), -30.0, np.float32)
+        lengths = np.zeros(len(prepped), np.int32)
+        for i, p in enumerate(prepped):
+            lp[i, : p.shape[0]] = p
+            lengths[i] = p.shape[0]
+        nbest_lists = searcher.decode_batch(lp, lengths)
+        return [self._finalize_results(results) for results in nbest_lists]

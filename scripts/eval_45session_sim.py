@@ -37,7 +37,6 @@ def main() -> None:
     from b2txt_tpu.lm import Lexicon, train_ngram
     from b2txt_tpu.lm.lexicon import strip_stress
     from b2txt_tpu.models import gru_decoder, state_dict_from_params, params_from_state_dict
-    from b2txt_tpu.runtime import NativeLexiconBeamSearch
     from b2txt_tpu.serve import DecoderService
     from b2txt_tpu.utils import TrainConfig
     from b2txt_tpu.utils.config import DecodeConfig
@@ -80,8 +79,10 @@ def main() -> None:
 
     dcfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=2.0, nbest=10,
                         beam_width=128)
-    decoder = DecoderService(lexicon, lm, dcfg, channel_order="model")
-    decoder.searcher = NativeLexiconBeamSearch(arpa, lexp, dcfg)
+    decoder = DecoderService(
+        lexicon, lm, dcfg, channel_order="model",
+        searcher_backend="native", arpa_path=arpa, lexicon_path=lexp,
+    )
 
     print("Stage 1+2: batched RNN inference + native LM decode...")
     t0 = time.time()

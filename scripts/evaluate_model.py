@@ -35,8 +35,11 @@ def main() -> None:
     p.add_argument("--do_opt", action="store_true", help="LLM rescoring (transformers)")
     p.add_argument("--opt_model", default="facebook/opt-6.7b")
     p.add_argument("--opt_cache_dir", default=None)
-    p.add_argument("--device_decoder", action="store_true",
-                   help="use the TPU-resident fused beam search")
+    p.add_argument("--searcher", default="native",
+                   choices=["native", "device", "python"],
+                   help="beam-search backend: native C++ host decoder "
+                        "(default), TPU-resident batched searcher, or the "
+                        "Python oracle")
     args = p.parse_args()
 
     from b2txt_tpu.evaluate import evaluate_sessions, write_competition_csv
@@ -79,12 +82,11 @@ def main() -> None:
             rescore=args.rescore and rescore_lm is not None, do_opt=args.do_opt,
         )
         decoder = DecoderService(
-            lexicon, lm, dcfg, rescore_lm=rescore_lm, llm=llm, channel_order="model"
+            lexicon, lm, dcfg, rescore_lm=rescore_lm, llm=llm,
+            channel_order="model", searcher_backend=args.searcher,
+            arpa_path=os.path.join(args.lm_dir, "lm.arpa"),
+            lexicon_path=lex_path,
         )
-        if args.device_decoder:
-            from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
-
-            decoder.searcher = DeviceLexiconBeamSearch(lexicon, lm, dcfg)
 
     out = evaluate_sessions(
         params, cfg, args.data_dir, eval_type=args.eval_type, decoder=decoder,

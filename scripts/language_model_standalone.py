@@ -34,7 +34,9 @@ def main() -> None:
     p.add_argument("--opt_model", type=str, default="facebook/opt-6.7b")
     p.add_argument("--opt_cache_dir", type=str, default=None)
     p.add_argument("--alpha", type=float, default=0.5)
-    p.add_argument("--device_decoder", action="store_true")
+    p.add_argument("--searcher", default="native",
+                   choices=["native", "device", "python"],
+                   help="beam-search backend")
     p.add_argument("--redis_ip", type=str, default="localhost")
     p.add_argument("--redis_port", type=int, default=6379)
     p.add_argument("--input_stream", type=str, default="remote_lm_input")
@@ -72,12 +74,11 @@ def main() -> None:
         beam_width=args.beam_width,
     )
     service = DecoderService(
-        lexicon, lm, cfg, rescore_lm=rescore_lm, llm=llm, channel_order="lm"
+        lexicon, lm, cfg, rescore_lm=rescore_lm, llm=llm, channel_order="lm",
+        searcher_backend=args.searcher,
+        arpa_path=os.path.join(args.lm_path, "lm.arpa"),
+        lexicon_path=os.path.join(args.lm_path, "lexicon.txt"),
     )
-    if args.device_decoder:
-        from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
-
-        service.searcher = DeviceLexiconBeamSearch(lexicon, lm, cfg)
 
     server = RedisDecoderServer(
         service, args.redis_ip, args.redis_port,
