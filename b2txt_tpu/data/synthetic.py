@@ -52,6 +52,48 @@ def make_sentence(rng: np.random.Generator, n_words: int = 3):
     return text, ids
 
 
+def ctc_logprobs(
+    rng: np.random.Generator,
+    phoneme_ids: Sequence[int],
+    n_classes: int = 41,
+    hot: float = 10.0,
+    noise: float = 0.5,
+    min_hot_frames: int = 1,
+    max_hot_frames: int = 3,
+    min_blank_run: int = 2,
+    max_blank_run: int = 6,
+    blank: int = 0,
+) -> np.ndarray:
+    """Synthetic CTC posteriors with *trained-model* temporal statistics.
+
+    A trained CTC model emits a 1–2 frame spike per phoneme and blank
+    everywhere else (~2/3 of frames blank-dominated at 20 ms bins) — that
+    blank dominance is what makes the reference's blank-skip trick pay
+    (ctc_wfst_beam_search.cc:86-95). Earlier bench fixtures used a fixed
+    2-hot+1-blank pattern with no blank runs, which understates skipping and
+    overstates per-sentence decode cost. Returns (T, n_classes) log-probs.
+    """
+    rows: List[np.ndarray] = []
+
+    def blanks(n: int) -> None:
+        for _ in range(n):
+            r = np.full(n_classes, -hot, np.float32)
+            r[blank] = 0.0
+            rows.append(r)
+
+    blanks(int(rng.integers(min_blank_run, max_blank_run + 1)))  # lead silence
+    for pid in phoneme_ids:
+        for _ in range(int(rng.integers(min_hot_frames, max_hot_frames + 1))):
+            r = np.full(n_classes, -hot, np.float32)
+            r[pid] = 0.0
+            rows.append(r)
+        blanks(int(rng.integers(min_blank_run, max_blank_run + 1)))
+    lp = np.stack(rows)
+    if noise:
+        lp = lp + noise * rng.standard_normal(lp.shape).astype(np.float32)
+    return lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+
 def synth_features(
     rng: np.random.Generator,
     phoneme_ids: Sequence[int],

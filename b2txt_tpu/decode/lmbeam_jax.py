@@ -108,6 +108,61 @@ class TrieArrays:
         )
 
 
+def compact_blank_skip(
+    lp: np.ndarray,
+    lengths: np.ndarray,
+    blank: int,
+    thresh: float,
+    log_blank_penalty: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Blank-skip frame compaction for batched decode.
+
+    Applies the blank penalty, then per utterance drops frames whose
+    (penalized) blank probability exceeds ``thresh`` and re-inserts ONE
+    synthetic blank frame before the next processed frame — exactly the
+    streaming skip semantics (reference: ctc_wfst_beam_search.cc:70-121;
+    host oracle: lmbeam.py decode()). On trained (peaked) posteriors most
+    frames are blank-dominated, so the compacted scan is several times
+    shorter — this is what makes the skip trick pay on TPU, where the scan
+    length (not per-frame width) is the latency driver.
+
+    lp: (B, T, C) log-probs. Returns (lp_out (B, T', C), new_lengths) with
+    the blank penalty already applied (run the scan with log_blank_penalty=0).
+    """
+    lp = np.array(lp, np.float32, copy=True)
+    B, T, C = lp.shape
+    if log_blank_penalty != 0.0:
+        lp[:, :, blank] -= log_blank_penalty
+    blank_row = np.full((C,), -30.0, np.float32)
+    blank_row[blank] = 0.0
+
+    rows_out: List[np.ndarray] = []
+    lens_out = np.zeros((B,), np.int32)
+    per_utt: List[np.ndarray] = []
+    for b in range(B):
+        skip = np.exp(lp[b, : lengths[b], blank]) > thresh
+        rows = []
+        pending = False
+        for t in range(int(lengths[b])):
+            if skip[t]:
+                pending = True
+                continue
+            if pending:
+                rows.append(blank_row)
+                pending = False
+            rows.append(lp[b, t])
+        per_utt.append(
+            np.stack(rows) if rows else np.zeros((0, C), np.float32)
+        )
+        lens_out[b] = len(rows)
+    T_out = max(1, int(lens_out.max()))
+    out = np.full((B, T_out, C), -30.0, np.float32)
+    out[:, :, blank] = 0.0  # padding frames are inert (masked by lengths too)
+    for b in range(B):
+        out[b, : lens_out[b]] = per_utt[b]
+    return out, lens_out
+
+
 def _backtrace_batch(
     parents: np.ndarray, syms: np.ndarray, words: np.ndarray, beam: int
 ) -> List[int]:
@@ -339,7 +394,13 @@ class DeviceLexiconBeamSearch:
         # ---- dedupe + merge + prune
         # Sort only (key1, key2, index) — everything else is gathered through
         # the permutation, keeping the sort narrow (compile + runtime cost of
-        # multi-operand TPU sorts grows with operand count).
+        # multi-operand TPU sorts grows with operand count). Only the four
+        # score components are gathered at full candidate width N (the
+        # segmented merges need them in sorted order); every other field is
+        # gathered once for the K winners via perm[top_idx] — merged
+        # duplicates share identical (h1, h2, node, last, ctx, lm) by
+        # construction, and any member's parent backtraces to the same word
+        # history, so the segment-end representative is exact.
         N = cand["k1"].shape[0]
         k1s, k2s, perm = jax.lax.sort(
             (cand["k1"], cand["k2"], jnp.arange(N, dtype=jnp.int32)), num_keys=2
@@ -348,15 +409,6 @@ class DeviceLexiconBeamSearch:
         nss = cand["ns"][perm]
         acss = cand["ac_s"][perm]
         acnss = cand["ac_ns"][perm]
-        lms = cand["lm"][perm]
-        nodes = cand["node"][perm]
-        lasts = cand["last"][perm]
-        parents = cand["parent"][perm]
-        syms = cand["sym"][perm]
-        words = cand["word"][perm]
-        h1s = cand["h1"][perm]
-        h2s = cand["h2"][perm]
-        ctxs = cand["ctx"][perm]
 
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
@@ -368,20 +420,20 @@ class DeviceLexiconBeamSearch:
         seg_end = jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
         total = jnp.where(seg_end, _logaddexp(s_tot, ns_tot), -jnp.inf)
 
-        K_out = K
-        top_total, top_idx = jax.lax.top_k(total, K_out)
+        top_total, top_idx = jax.lax.top_k(total, K)
         valid = top_total > -jnp.inf
+        win = perm[top_idx]  # original candidate index of each winner
         new_state = LmBeamState(
-            h1=h1s[top_idx], h2=h2s[top_idx],
-            node=nodes[top_idx], last=lasts[top_idx],
-            ctx=ctxs[top_idx],
+            h1=cand["h1"][win], h2=cand["h2"][win],
+            node=cand["node"][win], last=cand["last"][win],
+            ctx=cand["ctx"][win],
             s=jnp.where(valid, s_tot[top_idx], NEG),
             ns=jnp.where(valid, ns_tot[top_idx], NEG),
             ac_s=jnp.where(valid, ac_s_tot[top_idx], NEG),
             ac_ns=jnp.where(valid, ac_ns_tot[top_idx], NEG),
-            lm=lms[top_idx],
+            lm=cand["lm"][win],
         )
-        return new_state, parents[top_idx], syms[top_idx], words[top_idx]
+        return new_state, cand["parent"][win], cand["sym"][win], cand["word"][win]
 
     # ----------------------------------------------------------------- scan
     def _build_scan(self):
@@ -539,18 +591,29 @@ class DeviceLexiconBeamSearch:
     ) -> List[List[DecodeResult]]:
         """One-shot decode of (B, T, 41) utterances → per-utterance n-best.
 
-        Frames past input_lengths are ignored. blank-skip is not supported in
-        batch mode (set ctc_blank_skip_threshold=1.0).
+        Frames past input_lengths are ignored. Blank skipping is handled by
+        host-side frame compaction (compact_blank_skip) so the device scan
+        only runs over informative frames.
         """
         cfg = self.config
-        if cfg.ctc_blank_skip_threshold < 1.0:
-            raise NotImplementedError(
-                "blank-skip is only supported in streaming decode"
-            )
-        lp = jnp.asarray(log_probs, jnp.float32)
-        B, T, V = lp.shape
+        lp_np = np.asarray(log_probs, np.float32)
+        B, T, V = lp_np.shape
         if input_lengths is None:
             input_lengths = np.full((B,), T, np.int32)
+        log_bp = float(math.log(cfg.blank_penalty))
+        if cfg.ctc_blank_skip_threshold < 1.0:
+            lp_np, input_lengths = compact_blank_skip(
+                lp_np, np.asarray(input_lengths),
+                self.blank, float(cfg.ctc_blank_skip_threshold), log_bp,
+            )
+            log_bp = 0.0  # penalty already applied during compaction
+        # bucket T to limit scan recompiles across varying utterance lengths
+        T_pad = max(32, -(-lp_np.shape[1] // 32) * 32)
+        if T_pad != lp_np.shape[1]:
+            pad = np.full((B, T_pad - lp_np.shape[1], V), -30.0, np.float32)
+            pad[:, :, self.blank] = 0.0
+            lp_np = np.concatenate([lp_np, pad], axis=1)
+        lp = jnp.asarray(lp_np)
         single = self._make_state()
         state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
@@ -559,7 +622,7 @@ class DeviceLexiconBeamSearch:
             state, lp, jnp.asarray(input_lengths, jnp.int32),
             scale=float(cfg.acoustic_scale),
             length_penalty=float(cfg.length_penalty),
-            log_blank_penalty=float(math.log(cfg.blank_penalty)),
+            log_blank_penalty=log_bp,
             first_beam=cfg.first_beam_size or None,
         )
         scores, fwords, lms, acs = (

@@ -212,7 +212,9 @@ def forward(
 
     finals = []
     for l, layer in enumerate(params["layers"]):
-        if use_pallas and not training:
+        if use_pallas:
+            # VMEM-resident recurrence kernel; differentiable (custom VJP
+            # backs it with the reverse-time kernel), so training uses it too.
             from ..ops.pallas.gru import gru_layer_pallas
 
             x_proj = (

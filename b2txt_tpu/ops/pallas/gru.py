@@ -8,10 +8,14 @@ and double-buffers the per-step input projections from HBM, so each step costs
 one (B, H) × (H, 3H) MXU matmul plus a ~300 KB stream — the speed-of-light
 pattern for RNNs on TPU.
 
-Used on the inference/decode path (models.gru_decoder selects it via
-``use_pallas``); training keeps the XLA scan for autodiff until the custom
-VJP kernel lands. Gate math is exactly torch.nn.GRU's (r/z/n, b_hh_n inside
-the reset product) — parity-tested against the XLA scan implementation.
+A custom VJP (``_gru_bwd_kernel``) makes the kernel trainable: the backward
+runs the recurrence in reverse with W_hh^T pinned in VMEM, rematerializes the
+gates from the saved hidden states (no gate activations stored — trades one
+extra (B,H)×(H,3H) matmul per step for 3×B×T×H of HBM residuals), streams
+d(x_proj) and the pre-activation grads out, and leaves the weight gradient to
+one big MXU matmul outside the kernel. Gate math is exactly torch.nn.GRU's
+(r/z/n, b_hh_n inside the reset product) — forward and gradients are
+parity-tested against the XLA scan implementation.
 """
 
 from __future__ import annotations
@@ -72,15 +76,13 @@ def _gru_seq_kernel(xp_hbm, wt_ref, b_ref, h0_ref, out_hbm, hf_ref,
     hf_ref[:] = h_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gru_layer_pallas(
+def _gru_fwd_call(
     x_proj: jax.Array,    # (B, T, 3H): x @ W_ih^T + b_ih
     w_hh: jax.Array,      # (3H, H)
     b_hh: jax.Array,      # (3H,)
     h0: jax.Array,        # (B, H)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run one GRU layer's recurrence. Returns (outputs (B, T, H), h_final)."""
     B, T, threeH = x_proj.shape
     H = threeH // 3
     dtype = x_proj.dtype
@@ -115,3 +117,196 @@ def gru_layer_pallas(
     )(xp, wt, b, h0.astype(dtype))
 
     return jnp.moveaxis(out, 0, 1), hf
+
+
+def _gru_bwd_kernel(out_hbm, xp_hbm, g_hbm, wt_ref, b_ref, h0_ref, ghf_ref,
+                    dxp_hbm, dpre_hbm, dh0_ref,
+                    dh_scr, h_scr, x_scr, g_scr, dxp_scr, dpre_scr, sems):
+    """Reverse-time recurrence. out_hbm: (T, B, H) forward hidden states.
+    xp_hbm: (T, B, 3H). g_hbm: (T, B, H) output cotangents. wt_ref: (H, 3H)
+    W_hh^T in VMEM. ghf_ref: (B, H) final-state cotangent. Writes d(x_proj)
+    and d(hh pre-activations) per step; dh0_ref gets the h0 cotangent.
+    Gates are rematerialized from (h_{t-1}, x_proj_t) — one extra MXU matmul
+    per step instead of storing r/z/n residuals in HBM.
+    """
+    T = xp_hbm.shape[0]
+    H = wt_ref.shape[0]
+
+    dh_scr[:] = ghf_ref[:]
+
+    def get_h(slot, t):
+        # h_{t-1}; for t == 0 the buffer content is ignored (h0 read directly)
+        return pltpu.make_async_copy(
+            out_hbm.at[jnp.maximum(t - 1, 0)], h_scr.at[slot], sems.at[slot, 0]
+        )
+
+    def get_x(slot, t):
+        return pltpu.make_async_copy(xp_hbm.at[t], x_scr.at[slot], sems.at[slot, 1])
+
+    def get_g(slot, t):
+        return pltpu.make_async_copy(g_hbm.at[t], g_scr.at[slot], sems.at[slot, 2])
+
+    get_h(0, T - 1).start()
+    get_x(0, T - 1).start()
+    get_g(0, T - 1).start()
+
+    def body(i, _):
+        t = T - 1 - i
+        slot = i % 2
+
+        @pl.when(i + 1 < T)
+        def _():
+            get_h((i + 1) % 2, t - 1).start()
+            get_x((i + 1) % 2, t - 1).start()
+            get_g((i + 1) % 2, t - 1).start()
+
+        get_h(slot, t).wait()
+        get_x(slot, t).wait()
+        get_g(slot, t).wait()
+
+        h_prev = jnp.where(t > 0, h_scr[slot], h0_ref[:])
+        xp = x_scr[slot]
+        g = g_scr[slot] + dh_scr[:]
+
+        hh = (
+            jnp.dot(h_prev, wt_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[0, :]
+        )
+        r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
+        z = jax.nn.sigmoid(xp[:, H : 2 * H] + hh[:, H : 2 * H])
+        hn = hh[:, 2 * H :]
+        n = jnp.tanh(xp[:, 2 * H :] + r * hn)
+
+        g32 = g.astype(jnp.float32)
+        dz = g32 * (h_prev.astype(jnp.float32) - n) * z * (1.0 - z)
+        dn = g32 * (1.0 - z) * (1.0 - n * n)
+        dr = dn * hn * r * (1.0 - r)
+
+        dxp = jnp.concatenate([dr, dz, dn], axis=1).astype(dxp_hbm.dtype)
+        dpre = jnp.concatenate([dr, dz, dn * r], axis=1).astype(dpre_hbm.dtype)
+
+        # dh_{t-1} = g·z + dpre @ W_hh  (wt is W_hh^T, so contract 3H axes)
+        dh_scr[:] = (
+            g32 * z
+            + jax.lax.dot_general(
+                dpre, wt_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(dh_scr.dtype)
+
+        # stage computed grads in VMEM, then DMA to the HBM streams
+        dxp_scr[slot] = dxp
+        dpre_scr[slot] = dpre
+        dxp_dma = pltpu.make_async_copy(
+            dxp_scr.at[slot], dxp_hbm.at[t], sems.at[slot, 3]
+        )
+        dpre_dma = pltpu.make_async_copy(
+            dpre_scr.at[slot], dpre_hbm.at[t], sems.at[slot, 4]
+        )
+        dxp_dma.start()
+        dpre_dma.start()
+        dxp_dma.wait()
+        dpre_dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+    dh0_ref[:] = dh_scr[:]
+
+
+def _gru_bwd_call(x_proj, w_hh, b_hh, h0, out, g_out, g_hf, interpret):
+    """Run the backward kernel + the weight-grad matmuls (outside the kernel:
+    dW_hh and db_hh reduce over T·B, which is one large MXU contraction XLA
+    handles at full tilt — no need to accumulate inside the recurrence)."""
+    B, T, threeH = x_proj.shape
+    H = threeH // 3
+    dtype = x_proj.dtype
+
+    xp_t = jnp.moveaxis(x_proj, 1, 0)                 # (T, B, 3H)
+    out_t = jnp.moveaxis(out, 1, 0).astype(dtype)     # (T, B, H)
+    g_t = jnp.moveaxis(g_out, 1, 0).astype(dtype)
+    wt = w_hh.T.astype(dtype)                         # (H, 3H)
+    b = b_hh.reshape(1, -1).astype(dtype)
+
+    dxp_t, dpre_t, dh0 = pl.pallas_call(
+        _gru_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, threeH), dtype),   # d(x_proj)
+            jax.ShapeDtypeStruct((T, B, threeH), dtype),   # d(hh pre-act)
+            jax.ShapeDtypeStruct((B, H), jnp.float32),     # d(h0)
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # out (fwd hidden states)
+            pl.BlockSpec(memory_space=pl.ANY),       # x_proj
+            pl.BlockSpec(memory_space=pl.ANY),       # g_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # W_hh^T resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # h0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # g_hf
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),         # dh carry (f32)
+            pltpu.VMEM((2, B, H), dtype),            # h_{t-1} double buffer
+            pltpu.VMEM((2, B, threeH), dtype),       # x_proj double buffer
+            pltpu.VMEM((2, B, H), dtype),            # g double buffer
+            pltpu.VMEM((2, B, threeH), dtype),       # dxp staging
+            pltpu.VMEM((2, B, threeH), dtype),       # dpre staging
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(out_t, xp_t, g_t, wt, b, h0.astype(dtype),
+      g_hf.astype(jnp.float32))
+
+    # weight/bias grads: one big contraction over (T, B)
+    h_prev_t = jnp.concatenate([h0.astype(dtype)[None], out_t[:-1]], axis=0)
+    dw_hh = jnp.einsum(
+        "tbg,tbh->gh", dpre_t.astype(jnp.float32), h_prev_t.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    db_hh = dpre_t.astype(jnp.float32).sum(axis=(0, 1))
+    dxp = jnp.moveaxis(dxp_t, 0, 1)
+    return (
+        dxp.astype(x_proj.dtype),
+        dw_hh.astype(w_hh.dtype),
+        db_hh.astype(b_hh.dtype),
+        dh0.astype(h0.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gru_layer_pallas_core(x_proj, w_hh, b_hh, h0, interpret):
+    return _gru_fwd_call(x_proj, w_hh, b_hh, h0, interpret)
+
+
+def _core_fwd(x_proj, w_hh, b_hh, h0, interpret):
+    out, hf = _gru_fwd_call(x_proj, w_hh, b_hh, h0, interpret)
+    return (out, hf), (x_proj, w_hh, b_hh, h0, out)
+
+
+def _core_bwd(interpret, res, cotangents):
+    x_proj, w_hh, b_hh, h0, out = res
+    g_out, g_hf = cotangents
+    return _gru_bwd_call(x_proj, w_hh, b_hh, h0, out, g_out, g_hf, interpret)
+
+
+_gru_layer_pallas_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_layer_pallas(
+    x_proj: jax.Array,    # (B, T, 3H): x @ W_ih^T + b_ih
+    w_hh: jax.Array,      # (3H, H)
+    b_hh: jax.Array,      # (3H,)
+    h0: jax.Array,        # (B, H)
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run one GRU layer's recurrence (differentiable — custom VJP backs the
+    recurrence with the reverse-time Pallas kernel). Returns
+    (outputs (B, T, H), h_final)."""
+    return _gru_layer_pallas_core(x_proj, w_hh, b_hh, h0, interpret)

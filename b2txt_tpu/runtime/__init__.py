@@ -68,6 +68,10 @@ def _load():
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
         ctypes.c_char_p,
     ]
+    lib.b2t_set_rescore_lm.restype = ctypes.c_int
+    lib.b2t_set_rescore_lm.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.b2t_lm_entries.restype = ctypes.c_longlong
+    lib.b2t_lm_entries.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -110,6 +114,7 @@ class NativeLexiconBeamSearch:
         lexicon_path: str,
         config: Optional[DecodeConfig] = None,
         max_homophones: int = 4,
+        rescore_arpa: Optional[str] = None,
     ):
         lib = _load()
         self._lib = lib
@@ -122,7 +127,23 @@ class NativeLexiconBeamSearch:
         self.n_frames = 0
         self.config = config or DecodeConfig()
         self.set_opt(self.config)
+        if rescore_arpa:
+            self.set_rescore_lm(rescore_arpa)
         self._buf = ctypes.create_string_buffer(1 << 22)
+
+    def set_rescore_lm(self, arpa_path: Optional[str]) -> None:
+        """Load (or clear) the unpruned LM used to rescore the n-best at
+        finalize (reference: G_no_prune + BrainSpeechDecoder::Rescore)."""
+        rc = self._lib.b2t_set_rescore_lm(
+            self._h, (arpa_path or "").encode()
+        )
+        if rc != 0:
+            raise RuntimeError(f"failed to load rescore LM {arpa_path}")
+
+    @property
+    def lm_entries(self) -> int:
+        """Total packed n-gram records across orders (16 bytes each)."""
+        return int(self._lib.b2t_lm_entries(self._h))
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -21,6 +21,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <iostream>
@@ -46,15 +47,47 @@ static inline double LogAdd(double a, double b) {
 }
 
 // ---------------------------------------------------------------- n-gram LM
+//
+// KenLM-class packed storage: each order's n-grams live in one flat array of
+// 16-byte records (64-bit FNV key of the word-id sequence + float logp +
+// float backoff), sorted by key and probed with binary search. Exactly
+// 16 B/entry with zero per-entry allocator overhead — a 5-gram with hundreds
+// of millions of n-grams fits in a few GB of RAM where the reference's SRILM
+// in-memory representation needs ~60-300 GB (reference README.md:101).
 
 struct NGramLM {
-  // key: packed word-id sequence hash; value: (logp, backoff) natural log
-  struct Entry {
+  struct Rec {
+    uint64_t key;
     float logp;
     float backoff;
   };
+  static_assert(sizeof(Rec) == 16, "packed 16-byte n-gram records");
+
+  struct PackedTable {
+    std::vector<Rec> recs;  // sorted by key after Finish()
+
+    void Finish() {
+      std::sort(recs.begin(), recs.end(),
+                [](const Rec& a, const Rec& b) { return a.key < b.key; });
+      // duplicate keys (hash collisions or repeated ARPA lines): keep first
+      recs.erase(std::unique(recs.begin(), recs.end(),
+                             [](const Rec& a, const Rec& b) {
+                               return a.key == b.key;
+                             }),
+                 recs.end());
+    }
+
+    const Rec* Find(uint64_t key) const {
+      auto it = std::lower_bound(
+          recs.begin(), recs.end(), key,
+          [](const Rec& r, uint64_t k) { return r.key < k; });
+      if (it != recs.end() && it->key == key) return &*it;
+      return nullptr;
+    }
+  };
+
   int order = 0;
-  std::vector<std::unordered_map<uint64_t, Entry>> tables;
+  std::vector<PackedTable> tables;
   std::unordered_map<std::string, int> word_ids;  // includes <s>,</s>,<unk>
   std::vector<std::string> words;
   int bos = -1, eos = -1, unk = -1;
@@ -77,6 +110,12 @@ struct NGramLM {
     return id;
   }
 
+  size_t TotalEntries() const {
+    size_t n = 0;
+    for (const auto& t : tables) n += t.recs.size();
+    return n;
+  }
+
   bool LoadArpa(const std::string& path) {
     std::ifstream f(path);
     if (!f) return false;
@@ -94,12 +133,14 @@ struct NGramLM {
     }
     order = static_cast<int>(counts.size());
     tables.assign(order, {});
+    for (int k = 0; k < order; ++k) tables[k].recs.reserve(counts[k]);
     int cur = 0;
     // `line` holds "\1-grams:" at this point
     do {
       if (line.empty()) continue;
       if (line[0] == '\\') {
         if (line.find("-grams:") != std::string::npos) {
+          if (cur > 0) tables[cur - 1].Finish();
           cur = std::stoi(line.substr(1));
         } else if (line.find("\\end\\") != std::string::npos) {
           break;
@@ -107,26 +148,32 @@ struct NGramLM {
         continue;
       }
       if (cur == 0) continue;
-      std::istringstream ss(line);
-      double logp;
-      if (!(ss >> logp)) continue;
+      // fast manual parse (the 100M-entry regime is load-bound on this path):
+      // "<logp>\t<w1> ... <wN>[\t<backoff>]"
+      const char* s = line.c_str();
+      char* end = nullptr;
+      double logp = std::strtod(s, &end);
+      if (end == s) continue;
+      s = end;
       int ids[8];
-      std::string w;
       bool ok = true;
       for (int i = 0; i < cur; ++i) {
-        if (!(ss >> w)) {
+        while (*s == ' ' || *s == '\t') ++s;
+        const char* ws = s;
+        while (*s && *s != ' ' && *s != '\t') ++s;
+        if (s == ws) {
           ok = false;
           break;
         }
-        ids[i] = Intern(w);
+        ids[i] = Intern(std::string(ws, s - ws));
       }
       if (!ok) continue;
-      double bow = 0.0;
-      ss >> bow;  // optional
-      Entry e{static_cast<float>(logp * kLog10),
-              static_cast<float>(bow * kLog10)};
-      tables[cur - 1][HashIds(ids, cur)] = e;
+      double bow = std::strtod(s, &end);  // optional; 0.0 if absent
+      tables[cur - 1].recs.push_back(
+          Rec{HashIds(ids, cur), static_cast<float>(logp * kLog10),
+              static_cast<float>(bow * kLog10)});
     } while (std::getline(f, line));
+    if (cur > 0) tables[cur - 1].Finish();
 
     auto find = [&](const char* w) {
       auto it = word_ids.find(w);
@@ -151,25 +198,49 @@ struct NGramLM {
       for (int i = 0; i < n; ++i) gram[i] = c[i];
       gram[n] = word;
       if (n + 1 <= order) {
-        auto it = tables[n].find(HashIds(gram, n + 1));
-        if (it != tables[n].end() && it->second.logp > kNoProb + 1e-3) {
-          return static_cast<float>(bo_sum + it->second.logp);
+        const Rec* r = tables[n].Find(HashIds(gram, n + 1));
+        if (r && r->logp > kNoProb + 1e-3) {
+          return static_cast<float>(bo_sum + r->logp);
         }
       }
       if (n == 0) {
-        auto it = tables[0].find(HashIds(&word, 1));
-        double p = (it != tables[0].end()) ? it->second.logp : kNoProb;
+        const Rec* r = tables[0].Find(HashIds(&word, 1));
+        double p = r ? r->logp : kNoProb;
         if (p <= kNoProb + 1e-3 && unk >= 0 && word != unk) {
-          auto itu = tables[0].find(HashIds(&unk, 1));
-          if (itu != tables[0].end()) p = itu->second.logp;
+          const Rec* ru = tables[0].Find(HashIds(&unk, 1));
+          if (ru) p = ru->logp;
         }
         return static_cast<float>(bo_sum + p);
       }
-      auto bo = tables[n - 1].find(HashIds(c, n));
-      if (bo != tables[n - 1].end()) bo_sum += bo->second.backoff;
+      const Rec* bo = tables[n - 1].Find(HashIds(c, n));
+      if (bo) bo_sum += bo->backoff;
       ++c;
       --n;
     }
+  }
+
+  // Full-sentence score: Σ log P(w_i | <s>, w_1..w_{i-1}) + log P(</s> | ...).
+  // Used by n-best rescoring with the unpruned LM (the n-best analogue of the
+  // reference's lattice −G_pruned/+G_unpruned compose,
+  // brain_speech_decoder.cc:61-101).
+  double SentenceLogP(const std::vector<int>& word_ids_seq) const {
+    int ctx[kMaxCtx];
+    int n = 0;
+    if (bos >= 0) ctx[n++] = bos;
+    double total = 0.0;
+    auto push = [&](int w) {
+      if (n == order - 1 && n > 0) {
+        for (int i = 1; i < n; ++i) ctx[i - 1] = ctx[i];
+        --n;
+      }
+      if (order > 1) ctx[n++] = w;
+    };
+    for (int w : word_ids_seq) {
+      total += LogP(ctx, n, w);
+      push(w);
+    }
+    if (eos >= 0) total += LogP(ctx, n, eos);
+    return total;
   }
 };
 
@@ -264,6 +335,7 @@ struct Options {
 struct Decoder {
   const NGramLM* lm;
   const Lexicon* lex;
+  const NGramLM* rescore_lm = nullptr;  // unpruned LM for n-best rescoring
   Options opts;
   int blank = 0, sil = 40;
 
@@ -517,7 +589,8 @@ struct Decoder {
   std::vector<Result> finalized_;
   bool has_final_ = false;
 
-  std::string Sentence(int word_node, int extra_word) const {
+  // word ids (decode-LM interning) in sentence order
+  std::vector<int> CollectWords(int word_node, int extra_word) const {
     std::vector<int> ws;
     if (extra_word >= 0) ws.push_back(extra_word);
     int cur = word_node;
@@ -525,10 +598,15 @@ struct Decoder {
       ws.push_back(arena[cur].first);
       cur = arena[cur].second;
     }
+    std::reverse(ws.begin(), ws.end());
+    return ws;
+  }
+
+  std::string Sentence(const std::vector<int>& ws) const {
     std::string out;
-    for (int i = static_cast<int>(ws.size()) - 1; i >= 0; --i) {
+    for (int w : ws) {
       if (!out.empty()) out += ' ';
-      out += lex->out_words[ws[i]];
+      out += lex->out_words[w];
     }
     return out;
   }
@@ -573,13 +651,33 @@ struct Decoder {
         }
       }
     }
+    // Unpruned-LM rescoring over the candidate set: replace each candidate's
+    // decode-LM score with the unpruned LM's full-sentence score and re-rank
+    // — the n-best analogue of the reference's lattice −G_pruned/+G_unpruned
+    // compose (brain_speech_decoder.cc:61-101).
+    if (rescore_lm != nullptr) {
+      for (Cand& c : cands) {
+        if (c.score == kNegInf) continue;
+        std::vector<int> ws = CollectWords(c.word_node, c.extra);
+        std::vector<int> rs;
+        rs.reserve(ws.size());
+        for (int w : ws) {
+          auto it = rescore_lm->word_ids.find(lex->out_words[w]);
+          rs.push_back(it == rescore_lm->word_ids.end() ? -1 : it->second);
+        }
+        double lm_new = rescore_lm->SentenceLogP(rs) +
+                        opts.length_penalty * static_cast<double>(ws.size());
+        c.score += lm_new - c.lms;
+        c.lms = lm_new;
+      }
+    }
     std::sort(cands.begin(), cands.end(),
               [](const Cand& a, const Cand& b) { return a.score > b.score; });
     finalized_.clear();
     std::unordered_map<std::string, bool> seen;
     for (const Cand& c : cands) {
       if (static_cast<int>(finalized_.size()) >= opts.nbest) break;
-      std::string s = Sentence(c.word_node, c.extra);
+      std::string s = Sentence(CollectWords(c.word_node, c.extra));
       if (s.empty() || seen.count(s)) continue;
       seen[s] = true;
       finalized_.push_back({s, c.ac, c.lms});
@@ -593,7 +691,8 @@ struct Decoder {
     const Hyp* best = &hyps[0];
     for (const Hyp& h : hyps)
       if (h.Score() > best->Score()) best = &h;
-    return {Sentence(best->word_node, -1), best->Ac(), best->lm_score};
+    return {Sentence(CollectWords(best->word_node, -1)), best->Ac(),
+            best->lm_score};
   }
 };
 
@@ -604,6 +703,7 @@ struct Decoder {
 struct B2TDecoder {
   b2t::NGramLM lm;
   b2t::Lexicon lex;
+  std::unique_ptr<b2t::NGramLM> rescore_lm;
   std::unique_ptr<b2t::Decoder> dec;
 };
 
@@ -620,6 +720,29 @@ void* b2t_create(const char* arpa_path, const char* lexicon_path) {
 }
 
 void b2t_destroy(void* p) { delete static_cast<B2TDecoder*>(p); }
+
+// Load an unpruned LM for n-best rescoring (reference: G_no_prune.fst in
+// DecodeResource + Rescore, brain_speech_decoder.h:45-98). Returns 0 on
+// success. Passing an empty path clears the rescorer.
+int b2t_set_rescore_lm(void* p, const char* arpa_path) {
+  auto* d = static_cast<B2TDecoder*>(p);
+  if (arpa_path == nullptr || arpa_path[0] == '\0') {
+    d->dec->rescore_lm = nullptr;
+    d->rescore_lm.reset();
+    return 0;
+  }
+  auto lm = std::make_unique<b2t::NGramLM>();
+  if (!lm->LoadArpa(arpa_path)) return 1;
+  d->rescore_lm = std::move(lm);
+  d->dec->rescore_lm = d->rescore_lm.get();
+  return 0;
+}
+
+// Introspection for memory drives: entries across all orders.
+long long b2t_lm_entries(void* p) {
+  return static_cast<long long>(
+      static_cast<B2TDecoder*>(p)->lm.TotalEntries());
+}
 
 void b2t_reset(void* p) { static_cast<B2TDecoder*>(p)->dec->Reset(); }
 

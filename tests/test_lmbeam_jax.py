@@ -155,6 +155,65 @@ def test_device_blank_skip(lexicon, lm):
     assert dev.finish_decoding()[0].sentence == "the cat sat"
 
 
+def test_batch_blank_skip_matches_streaming_and_oracle(lexicon, lm):
+    """decode_batch with blank-skip (host frame compaction) == the streaming
+    device path == the host oracle, scores included."""
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=2.0, nbest=5,
+                       beam_width=64, beam=0.0, ctc_blank_skip_threshold=0.9)
+    sents = ["the cat sat on the mat", "there is the cat"]
+    lps = [
+        clean_logprobs(lexicon.sentence_to_phonemes(s), hot=5.0, noise=0.3,
+                       seed=7 + i)
+        for i, s in enumerate(sents)
+    ]
+    T = max(l.shape[0] for l in lps)
+    batch = np.full((2, T, 41), -20.0, np.float32)
+    lens = np.array([l.shape[0] for l in lps], np.int32)
+    for i, l in enumerate(lps):
+        batch[i, : l.shape[0]] = l
+
+    dev = DeviceLexiconBeamSearch(lexicon, lm, cfg)
+    res_batch = dev.decode_batch(batch, lens)
+
+    for i, s in enumerate(sents):
+        host = LexiconBeamSearch(lexicon, lm, cfg)
+        host.decode(lps[i])
+        r_host = host.finish_decoding()
+
+        dev.reset()
+        dev.decode(lps[i])
+        r_stream = dev.finish_decoding()
+
+        assert res_batch[i][0].sentence == r_stream[0].sentence == r_host[0].sentence
+        np.testing.assert_allclose(
+            res_batch[i][0].ac_score, r_stream[0].ac_score, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            res_batch[i][0].lm_score, r_host[0].lm_score, rtol=1e-3, atol=1e-3
+        )
+
+
+def test_compact_blank_skip_semantics():
+    """The compaction drops skip frames and re-inserts exactly one blank
+    before the next processed frame."""
+    from b2txt_tpu.decode.lmbeam_jax import compact_blank_skip
+
+    C = 5
+    def row(p_blank):
+        r = np.full((C,), np.log((1 - p_blank) / (C - 1)), np.float32)
+        r[0] = np.log(p_blank)
+        return r
+
+    lp = np.stack([row(0.99), row(0.99), row(0.2), row(0.99), row(0.3)])[None]
+    out, lens = compact_blank_skip(lp, np.array([5]), blank=0, thresh=0.9,
+                                   log_blank_penalty=0.0)
+    # frames 0,1 skipped → 1 blank + frame2; frame3 skipped → 1 blank + frame4
+    assert lens[0] == 4
+    assert out[0, 0, 0] == 0.0 and out[0, 2, 0] == 0.0   # re-inserted blanks
+    np.testing.assert_allclose(out[0, 1], lp[0, 2], rtol=1e-6)
+    np.testing.assert_allclose(out[0, 3], lp[0, 4], rtol=1e-6)
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_device_lower_order_lms(lexicon, order):
     lm = train_ngram(CORPUS, order=order)

@@ -202,3 +202,72 @@ def test_native_trainer_vocab_limit(tmp_path):
     lm = NGramLM.from_arpa(apath)
     assert "dog" not in lm.vocab
     assert lm.logp([], "dog") == lm.logp([], "<unk>")
+
+
+def test_native_unpruned_rescore(tmp_path):
+    """C++ n-best rescoring with a second (unpruned) ARPA == recomputing each
+    sentence's LM score with NGramLM.sentence_logp (the Python rescore oracle,
+    decode/rescore.py:160-168)."""
+    import numpy as np
+
+    from b2txt_tpu.lm import Lexicon, train_ngram
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+    from b2txt_tpu.utils.config import DecodeConfig
+
+    LEX = {
+        "the": ["DH", "AH"], "cat": ["K", "AE", "T"], "sat": ["S", "AE", "T"],
+        "mat": ["M", "AE", "T"], "hat": ["HH", "AE", "T"], "on": ["AA", "N"],
+    }
+    corpus = ["the cat sat on the mat".split(), "the cat sat".split(),
+              "the hat".split()] * 3
+    lexicon = Lexicon.from_words(LEX)
+    pruned = train_ngram(corpus, order=2)
+    unpruned = train_ngram(corpus + ["the mat sat on the hat".split()] * 2,
+                           order=3)
+    arpa = str(tmp_path / "lm.arpa"); pruned.to_arpa(arpa)
+    arpa_big = str(tmp_path / "lm_unpruned.arpa"); unpruned.to_arpa(arpa_big)
+    lexp = str(tmp_path / "lexicon.txt")
+    with open(lexp, "w") as f:
+        for w, p in LEX.items():
+            f.write(f"{w.upper()}  {' '.join(p)}\n")
+
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10,
+                       beam_width=64, beam=0.0)
+
+    def lp_for(sentence, hot=4.0):
+        rows = []
+        for pid in lexicon.sentence_to_phonemes(sentence):
+            for _ in range(2):
+                r = np.full(41, -hot, np.float32); r[pid] = 0.0; rows.append(r)
+            b = np.full(41, -hot, np.float32); b[0] = 0.0; rows.append(b)
+        lp = np.stack(rows)
+        return lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+    lp = lp_for("the cat sat")
+
+    base = NativeLexiconBeamSearch(arpa, lexp, cfg)
+    base.decode(lp)
+    r_base = base.finish_decoding()
+
+    resc = NativeLexiconBeamSearch(arpa, lexp, cfg, rescore_arpa=arpa_big)
+    resc.decode(lp)
+    r_resc = resc.finish_decoding()
+
+    assert len(r_resc) > 1
+    # every rescored candidate's lm_score equals the unpruned full-sentence
+    # score, and the ranking follows scale·ac + lm_new
+    for r in r_resc:
+        expect = unpruned.sentence_logp(r.sentence.split())
+        np.testing.assert_allclose(r.lm_score, expect, rtol=1e-4, atol=1e-4)
+    totals = [cfg.acoustic_scale * r.ac_score + r.lm_score for r in r_resc]
+    # ranking follows the rescored totals (rescoring happens BEFORE the
+    # n-best cut, so tail membership may legitimately differ from base —
+    # exactly why lattice/large-pool rescoring beats rescoring a fixed list)
+    assert totals == sorted(totals, reverse=True)
+    assert r_resc[0].sentence == "the cat sat"
+
+    # clearing the rescorer restores base behavior
+    resc.set_rescore_lm(None)
+    resc.reset(); resc.decode(lp)
+    r_clear = resc.finish_decoding()
+    assert [r.sentence for r in r_clear] == [r.sentence for r in r_base]
