@@ -5,3 +5,11 @@ from .figures import (
     vocab_condition_comparison,
     words_per_minute,
 )
+from .plots import (
+    plot_correctness_by_day,
+    plot_correctness_pie,
+    plot_cumulative_usage,
+    plot_error_rates_by_day,
+    plot_logit_raster,
+    plot_wpm_by_day,
+)

@@ -317,17 +317,24 @@ class LexiconBeamSearch:
         return sorted(out.values(), key=lambda x: x.score, reverse=True)
 
     def finish_decoding(self) -> List[DecodeResult]:
-        """Parity: FinishDecoding → FinalizeSearch n-best extraction."""
-        finals = self._close_final_words()[: self.config.nbest]
-        self._finalized = [
-            DecodeResult(
-                sentence=" ".join(self.lexicon.words[w] for w in h.words),
-                ac_score=h.ac_score,
-                lm_score=h.lm,
+        """Parity: FinishDecoding → FinalizeSearch n-best extraction.
+        Duplicate sentences (same words, different alignment tail) keep only
+        their best-scoring entry — matching the native/device searchers."""
+        finals = self._close_final_words()
+        self._finalized = []
+        seen = set()
+        for h in finals:
+            if len(self._finalized) >= self.config.nbest:
+                break
+            if not h.words:
+                continue
+            sentence = " ".join(self.lexicon.words[w] for w in h.words)
+            if sentence in seen:
+                continue
+            seen.add(sentence)
+            self._finalized.append(
+                DecodeResult(sentence=sentence, ac_score=h.ac_score, lm_score=h.lm)
             )
-            for h in finals
-            if h.words
-        ]
         return self._finalized
 
     def result(self) -> List[DecodeResult]:

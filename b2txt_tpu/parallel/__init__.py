@@ -5,4 +5,4 @@ from .mesh import (
     param_partition_specs,
     shard_params,
 )
-from .dp import build_sharded_train_step
+from .dp import build_sharded_forward, build_sharded_train_step

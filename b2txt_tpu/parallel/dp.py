@@ -122,3 +122,51 @@ def build_sharded_train_step(
         }
 
     return step_jit, place_params, place_batch
+
+
+def build_sharded_forward(
+    cfg: TrainConfig,
+    params: Dict[str, Any],
+    mesh: Mesh,
+    compute_dtype=jnp.bfloat16,
+):
+    """Sharded *inference*: batch over "data", GRU gate dimension over
+    "model" — the deployment-side counterpart of the sharded train step.
+    Returns (fwd_fn, place_params): fwd_fn(params, x, day_idx) → (logits,
+    greedy ids), fully SPMD (the greedy argmax+collapse runs sharded too).
+    """
+    from ..ops.ctc import greedy_decode_ids
+
+    p_specs = param_partition_specs(params)
+    p_shard = named_sharding_tree(p_specs, mesh)
+    x_shard = NamedSharding(mesh, P("data", None, None))
+    day_shard = NamedSharding(mesh, P("data"))
+    out_shard = NamedSharding(mesh, P("data", None, None))
+    ids_shard = NamedSharding(mesh, P("data", None))
+
+    def fwd(params, x, day_idx):
+        logits = gru_decoder.forward(
+            params, x, day_idx,
+            patch_size=cfg.model.patch_size,
+            patch_stride=cfg.model.patch_stride,
+            compute_dtype=compute_dtype,
+        )
+        P_len = logits.shape[1]
+        ids = greedy_decode_ids(
+            logits.astype(jnp.float32),
+            jnp.full((logits.shape[0],), P_len, jnp.int32),
+        )
+        return logits, ids
+
+    fwd_jit = jax.jit(
+        fwd,
+        in_shardings=(p_shard, x_shard, day_shard),
+        out_shardings=(out_shard, ids_shard),
+    )
+
+    def place_params(params):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), params, p_shard
+        )
+
+    return fwd_jit, place_params

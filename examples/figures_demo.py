@@ -118,40 +118,55 @@ def main() -> None:
     print("fig4  cumulative hours:", usage["cumulative_hours"])
     print("fig4  WPM by day:", {k: round(v, 1) for k, v in wpm.items()})
 
-    # ---- plots (optional) ----
-    try:
-        import matplotlib
+    # ---- rendered figures (analysis.plots — fig 2 cells 5/7/8, fig 4 3/5/7/8)
+    from b2txt_tpu.analysis.plots import (
+        plot_correctness_by_day,
+        plot_correctness_pie,
+        plot_cumulative_usage,
+        plot_error_rates_by_day,
+        plot_logit_raster,
+        plot_wpm_by_day,
+    )
+    from b2txt_tpu.utils.phonemes import rearrange_speech_logits
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, axes = plt.subplots(1, 3, figsize=(14, 4))
-        for corpus, days in fig2.items():
-            names = sorted(days)
-            rates = [days[d][0] for d in names]
-            errs = [
-                [days[d][0] - days[d][1] for d in names],
-                [days[d][2] - days[d][0] for d in names],
-            ]
-            axes[0].errorbar(range(len(names)), rates, yerr=errs, marker="o",
-                             label=corpus, capsize=3)
-        axes[0].set_title("Fig 2a/b: per-day WER by vocab")
-        axes[0].set_ylabel("WER")
-        axes[0].legend()
-        axes[1].imshow(raster["probs"].T, aspect="auto", origin="lower",
-                       cmap="viridis")
-        axes[1].set_title("Fig 2c: phoneme probability raster")
-        axes[1].set_xlabel("frame")
-        axes[1].set_ylabel("phoneme")
-        days = sorted(wpm)
-        axes[2].bar(range(len(days)), [wpm[d] for d in days])
-        axes[2].set_title("Fig 4d: words per minute by day")
-        fig.tight_layout()
-        path = os.path.join(out_dir, "figures.png")
-        fig.savefig(path, dpi=120)
-        print(f"Wrote {path}")
-    except ImportError:
-        print("matplotlib not available — stats printed above only")
+    t0 = res["trials"][0]
+    plot_logit_raster(
+        rearrange_speech_logits(t0.logits),
+        title=f'{t0.session}, cue: "{t0.sentence_label}"',
+        path=os.path.join(out_dir, "fig2c_logit_raster.png"),
+    )
+    plot_error_rates_by_day(
+        fig2, metric="WER", path=os.path.join(out_dir, "fig2ab_wer_by_day.png")
+    )
+    plot_cumulative_usage(
+        [1, 2, 3], usage["cumulative_hours"], usage["cumulative_sentences"],
+        path=os.path.join(out_dir, "fig4ab_cumulative_use.png"),
+    )
+    correct = sum(
+        1 for t in res["trials"]
+        if remove_punctuation(t.decoded_sentence or "")
+        == remove_punctuation(t.sentence_label or "")
+    )
+    plot_correctness_pie(
+        {"Fully correct": correct, "Incorrect": len(res["trials"]) - correct},
+        path=os.path.join(out_dir, "fig4c_correctness_pie.png"),
+    )
+    by_day = {}
+    for t in res["trials"]:
+        ok = (remove_punctuation(t.decoded_sentence or "")
+              == remove_punctuation(t.sentence_label or ""))
+        c, n = by_day.get(t.session, (0, 0))
+        by_day[t.session] = (c + ok, n + 1)
+    days_sorted = sorted(by_day)
+    plot_correctness_by_day(
+        range(len(days_sorted)),
+        {"Fully correct": [by_day[d][0] for d in days_sorted],
+         "Incorrect": [by_day[d][1] - by_day[d][0] for d in days_sorted]},
+        [by_day[d][1] for d in days_sorted],
+        path=os.path.join(out_dir, "fig4e_correctness_by_day.png"),
+    )
+    plot_wpm_by_day(wpm, path=os.path.join(out_dir, "fig4d_wpm_by_day.png"))
+    print(f"Wrote 6 figure PNGs to {out_dir}")
 
 
 if __name__ == "__main__":

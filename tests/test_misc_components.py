@@ -104,3 +104,45 @@ def test_analysis_stats():
     np.testing.assert_allclose(out["d2"][0], 1.0)
     wpm = words_per_minute([10, 20], [60.0, 60.0], ["d1", "d1"])
     np.testing.assert_allclose(wpm["d1"], 15.0)
+
+
+def test_figure_rendering(tmp_path):
+    """analysis.plots renders every fig-2/fig-4 panel to a real PNG
+    (reference: analyses/figure_2.ipynb cells 5/7/8, figure_4.ipynb 3/5/7/8)."""
+    import numpy as np
+
+    from b2txt_tpu.analysis.plots import (
+        plot_correctness_by_day,
+        plot_correctness_pie,
+        plot_cumulative_usage,
+        plot_error_rates_by_day,
+        plot_logit_raster,
+        plot_wpm_by_day,
+    )
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((120, 41)).astype(np.float32)
+    paths = {
+        "raster": tmp_path / "raster.png",
+        "rates": tmp_path / "rates.png",
+        "usage": tmp_path / "usage.png",
+        "pie": tmp_path / "pie.png",
+        "byday": tmp_path / "byday.png",
+        "wpm": tmp_path / "wpm.png",
+    }
+    plot_logit_raster(logits, title="demo", path=str(paths["raster"]))
+    plot_error_rates_by_day(
+        {"50_word": {"d1": (0.02, 0.01, 0.04), "d2": (0.05, 0.02, 0.08)},
+         "125k_word": {"d1": (0.08, 0.05, 0.11), "d2": (0.12, 0.08, 0.16)}},
+        path=str(paths["rates"]),
+    )
+    plot_cumulative_usage([1, 5, 9], [1.0, 2.5, 4.0], [30, 80, 140],
+                          path=str(paths["usage"]))
+    plot_correctness_pie({"Fully correct": 70, "Mostly correct": 20,
+                          "Incorrect": 10}, path=str(paths["pie"]))
+    plot_correctness_by_day([1, 5, 9],
+                            {"Fully correct": [8, 9, 7], "Incorrect": [2, 1, 3]},
+                            [10, 10, 10], path=str(paths["byday"]))
+    plot_wpm_by_day({"d1": 30.5, "d2": 42.0}, path=str(paths["wpm"]))
+    for name, p in paths.items():
+        assert p.exists() and p.stat().st_size > 5000, name

@@ -1,0 +1,175 @@
+"""Rescoring-fidelity: n-best rescoring at large N ≡ candidate-pool rescoring.
+
+The reference rescores the full decode *lattice* (−G_pruned +G_unpruned via
+compose/determinize, brain_speech_decoder.cc:61-101); this framework rescores
+the decoder's surviving candidate pool before the n-best cut (the C++
+backend, runtime/decoder.cc Finalize) or an n-best list (decode/rescore.py).
+These tests quantify the equivalence on utterances engineered so the pruned
+decode LM misranks the truth and only the unpruned LM can rescue it:
+
+  * rescuing improves monotonically with N (a too-small list can't be saved),
+  * at production N (100 ≥ pool size here) list-rescoring equals rescoring
+    the entire candidate pool — the hypothesis space the lattice adds beyond
+    the survivors was already pruned from the beam in both architectures.
+"""
+
+import numpy as np
+import pytest
+
+from b2txt_tpu.decode.lmbeam import LexiconBeamSearch
+from b2txt_tpu.decode.rescore import rescore_nbest_with_ngram, results_to_nbest
+from b2txt_tpu.lm import Lexicon, train_ngram
+from b2txt_tpu.utils.config import DecodeConfig
+
+LEX = {
+    "the": ["DH", "AH"],
+    "cat": ["K", "AE", "T"],
+    "bat": ["B", "AE", "T"],
+    "sat": ["S", "AE", "T"],
+    "mat": ["M", "AE", "T"],
+    "sea": ["S", "IY"],
+    "see": ["S", "IY"],          # homophone pair
+    "son": ["S", "AH", "N"],
+    "sun": ["S", "AH", "N"],     # homophone pair
+    "rises": ["R", "AY", "Z", "IH", "Z"],
+    "sleeps": ["S", "L", "IY", "P", "S"],
+    "on": ["AA", "N"],
+}
+
+# decode LM: 'sun' and 'sea' are entirely OOV (as a pruned LM drops rare
+# words' higher-order grams); their homophones 'son'/'see' dominate, so the
+# decode MUST misrank 'the sun rises' → 'the son rises'.
+PRUNED_CORPUS = (
+    ["the son rises".split()] * 8
+    + ["see the cat".split()] * 8
+    + ["the cat sat on the mat".split()] * 4
+    + ["the son sleeps".split()] * 2
+)
+# unpruned LM: knows the true distribution
+UNPRUNED_CORPUS = (
+    ["the sun rises".split()] * 10
+    + ["the sea".split()] * 6
+    + ["the cat sat on the mat".split()] * 4
+    + ["the son sleeps".split()] * 1
+    + ["see the cat".split()] * 1
+)
+
+TRUTHS = ["the sun rises", "the cat sat on the mat"]
+
+
+@pytest.fixture(scope="module")
+def world():
+    lexicon = Lexicon.from_words(LEX)
+    pruned = train_ngram(PRUNED_CORPUS, order=2)
+    unpruned = train_ngram(UNPRUNED_CORPUS, order=3)
+    return lexicon, pruned, unpruned
+
+
+def logits_for(lexicon, sentence, seed=0, hot=4.0, noise=0.5):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for pid in lexicon.sentence_to_phonemes(sentence):
+        for _ in range(3):
+            r = np.full(41, -hot, np.float32)
+            r[pid] = 0.0
+            rows.append(r)
+        b = np.full(41, -hot, np.float32)
+        b[0] = 0.0
+        rows.append(b)
+    lp = np.stack(rows) + noise * rng.standard_normal((len(rows), 41)).astype(np.float32)
+    return lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+
+def wer(ref: str, hyp: str) -> float:
+    from b2txt_tpu.utils.metrics import edit_distance
+
+    r, h = ref.split(), hyp.split()
+    return edit_distance(r, h) / max(len(r), 1)
+
+
+def rescore_top1(nbest, lm, scale):
+    rescored = rescore_nbest_with_ngram(nbest, lm)
+    return max(rescored, key=lambda x: scale * x[1] + x[2])[0]
+
+
+def test_nbest_rescue_grows_with_n(world):
+    """Truth sentences the pruned LM misranks get rescued by unpruned-LM
+    rescoring only when N is large enough to contain them."""
+    lexicon, pruned, unpruned = world
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=100,
+                       beam_width=96, beam=0.0)
+
+    wer_by_n = {1: 0.0, 3: 0.0, 100: 0.0}
+    base_wrong = 0
+    for i, truth in enumerate(TRUTHS):
+        searcher = LexiconBeamSearch(lexicon, pruned, cfg)
+        searcher.decode(logits_for(lexicon, truth, seed=10 + i))
+        results = searcher.finish_decoding()
+        nbest = results_to_nbest(results)
+        base_wrong += results[0].sentence != truth
+        for n in wer_by_n:
+            wer_by_n[n] += wer(truth, rescore_top1(nbest[:n], unpruned,
+                                                   cfg.acoustic_scale))
+    # at least one truth misranked by the pruned decode (the setup bites)
+    assert base_wrong >= 1
+    # monotone: more candidates → no worse, and full-N rescues everything
+    assert wer_by_n[100] <= wer_by_n[3] <= wer_by_n[1]
+    assert wer_by_n[100] == 0.0
+
+
+def test_large_nbest_equals_pool_rescoring(world):
+    """Rescoring the N=100 list == rescoring the decoder's entire surviving
+    candidate pool (what the C++ backend does pre-cut): same top-1 on every
+    utterance. This is the demonstrated-equivalence regime for replacing
+    lattice rescoring with large-N n-best rescoring."""
+    lexicon, pruned, unpruned = world
+    for i, truth in enumerate(TRUTHS):
+        cfg_list = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0,
+                                nbest=100, beam_width=96, beam=0.0)
+        searcher = LexiconBeamSearch(lexicon, pruned, cfg_list)
+        lp = logits_for(lexicon, truth, seed=10 + i)
+        searcher.decode(lp)
+        nbest100 = results_to_nbest(searcher.finish_decoding())
+
+        # "pool" = every final candidate the searcher can close (nbest huge)
+        cfg_pool = cfg_list.replace(nbest=100000)
+        pool_searcher = LexiconBeamSearch(lexicon, pruned, cfg_pool)
+        pool_searcher.decode(lp)
+        pool = results_to_nbest(pool_searcher.finish_decoding())
+
+        top_list = rescore_top1(nbest100, unpruned, 0.5)
+        top_pool = rescore_top1(pool, unpruned, 0.5)
+        assert top_list == top_pool == truth
+
+
+def test_native_precut_rescore_rescues(world, tmp_path):
+    """The C++ backend's built-in rescore (applied to the full candidate pool
+    before the n-best cut) rescues truths even at nbest=1 — strictly stronger
+    than post-cut list rescoring."""
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+
+    lexicon, pruned, unpruned = world
+    arpa = str(tmp_path / "lm.arpa"); pruned.to_arpa(arpa)
+    arpa_big = str(tmp_path / "big.arpa"); unpruned.to_arpa(arpa_big)
+    lexp = str(tmp_path / "lexicon.txt")
+    from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
+    with open(lexp, "w") as f:
+        for w, wid in lexicon.word_ids.items():
+            for pron in lexicon.prons[wid]:
+                f.write(f"{w.upper()}  {' '.join(LOGIT_TO_PHONEME[p] for p in pron)}\n")
+
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=1,
+                       beam_width=96, beam=0.0)
+    plain = NativeLexiconBeamSearch(arpa, lexp, cfg)
+    resc = NativeLexiconBeamSearch(arpa, lexp, cfg, rescore_arpa=arpa_big)
+
+    rescued = 0
+    for i, truth in enumerate(TRUTHS):
+        lp = logits_for(lexicon, truth, seed=10 + i)
+        plain.reset(); plain.decode(lp)
+        resc.reset(); resc.decode(lp)
+        r_plain = plain.finish_decoding()[0].sentence
+        r_resc = resc.finish_decoding()[0].sentence
+        assert r_resc == truth
+        rescued += (r_plain != truth)
+    assert rescued >= 1  # the rescore actually changed an outcome
