@@ -98,16 +98,17 @@ class LexiconBeamSearch:
         config: Optional[DecodeConfig] = None,
         blank: int = BLANK_ID,
         sil: int = SIL_ID_MODEL,
-        sum_mode: bool = True,
+        sum_mode: Optional[bool] = None,
         max_homophones: int = 4,
         lm_lookahead: bool = True,
     ):
         self.lexicon = lexicon
         self.lm = lm
         self.config = config or DecodeConfig()
+        if sum_mode is not None:
+            self.config = self.config.replace(sum_mode=sum_mode)
         self.blank = blank
         self.sil = sil
-        self.sum_mode = sum_mode
         self.max_homophones = max_homophones
         # LM lookahead smearing over the trie: partial words carry the best
         # reachable unigram score so they compete fairly with closed words
@@ -132,13 +133,21 @@ class LexiconBeamSearch:
         self._pending_blank = False  # blank-skip bookkeeping
 
     # ----------------------------------------------------------------- core
+    def _score(self, h: LmHyp) -> float:
+        """Ranking score under the configured merge mode: CTC-proper log-sum
+        of the blank/non-blank components, or Viterbi max (Kaldi token
+        passing takes the best path through a state)."""
+        if self.config.sum_mode:
+            return h.score
+        return max(h.s, h.ns)
+
     def _merge(self, into: Dict[Key, LmHyp], hyp: LmHyp) -> None:
         key = (hyp.words, hyp.node, hyp.last)
         cur = into.get(key)
         if cur is None:
             into[key] = hyp
             return
-        if self.sum_mode:
+        if self.config.sum_mode:
             cur.s = log_add(cur.s, hyp.s)
             cur.ns = log_add(cur.ns, hyp.ns)
             cur.ac_s = max(cur.ac_s, hyp.ac_s)
@@ -175,7 +184,7 @@ class LexiconBeamSearch:
             fb_thresh = vals[fb - 1]
 
         for (words, node, last), h in self.hyps.items():
-            score = h.score
+            score = self._score(h)
             ac = h.ac_score
             # ---- blank: stay ----
             lb = float(lp[self.blank])
@@ -241,11 +250,11 @@ class LexiconBeamSearch:
                               ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm),
                     )
 
-        ranked = sorted(next_hyps.values(), key=lambda x: x.score, reverse=True)
+        ranked = sorted(next_hyps.values(), key=self._score, reverse=True)
         keep = ranked[: self.config.beam_width]
         if keep and self.config.beam > 0:
-            cutoff = keep[0].score - self.config.beam
-            keep = [h for h in keep if h.score >= cutoff]
+            cutoff = self._score(keep[0]) - self.config.beam
+            keep = [h for h in keep if self._score(h) >= cutoff]
         self.hyps = {(h.words, h.node, h.last): h for h in keep}
 
     def decode(self, log_probs: np.ndarray) -> None:
@@ -312,9 +321,9 @@ class LexiconBeamSearch:
                 )
                 key = (cand.words, 0, cand.last)
                 prev = out.get(key)
-                if prev is None or cand.score > prev.score:
+                if prev is None or self._score(cand) > self._score(prev):
                     out[key] = cand
-        return sorted(out.values(), key=lambda x: x.score, reverse=True)
+        return sorted(out.values(), key=self._score, reverse=True)
 
     def finish_decoding(self) -> List[DecodeResult]:
         """Parity: FinishDecoding → FinalizeSearch n-best extraction.
@@ -343,7 +352,7 @@ class LexiconBeamSearch:
             return self._finalized
         if not self.hyps:
             return []
-        best = max(self.hyps.values(), key=lambda h: h.score)
+        best = max(self.hyps.values(), key=self._score)
         return [
             DecodeResult(
                 sentence=" ".join(self.lexicon.words[w] for w in best.words),

@@ -238,17 +238,21 @@ class DeviceLexiconBeamSearch:
 
     # ------------------------------------------------------------ expansion
     def _expand(self, state: LmBeamState, lp: jax.Array, scale: float,
-                length_penalty: float, first_beam: Optional[int] = None):
+                length_penalty: float, first_beam: Optional[int] = None,
+                sum_mode: bool = True):
         """One frame of expansion. ``first_beam`` statically restricts the
         phone-extension candidates to the top-k log-prob phones of this frame
         (the reference's first-beam prune) — shrinking the per-frame sort from
-        K·(V+H+2) to K·(first_beam+H+2) candidates."""
+        K·(V+H+2) to K·(first_beam+H+2) candidates. ``sum_mode`` selects the
+        CTC-proper log-sum path merge (True, matching ctc_prefix_beam_search)
+        or Kaldi-style Viterbi max (False, matching token passing over TLG)."""
         K = state.s.shape[0]
         V = lp.shape[0]
         H = self.H
         CW = state.ctx.shape[1]
         blank, sil = self.blank, self.sil
-        score = _logaddexp(state.s, state.ns)
+        score = (_logaddexp(state.s, state.ns) if sum_mode
+                 else jnp.maximum(state.s, state.ns))
         ac = _logaddexp(state.ac_s, state.ac_ns)
 
         arangeK = jnp.arange(K, dtype=jnp.int32)
@@ -392,58 +396,83 @@ class DeviceLexiconBeamSearch:
         }
 
         # ---- dedupe + merge + prune
-        # Sort only (key1, key2, index) — everything else is gathered through
-        # the permutation, keeping the sort narrow (compile + runtime cost of
-        # multi-operand TPU sorts grows with operand count). Only the four
-        # score components are gathered at full candidate width N (the
-        # segmented merges need them in sorted order); every other field is
-        # gathered once for the K winners via perm[top_idx] — merged
-        # duplicates share identical (h1, h2, node, last, ctx, lm) by
-        # construction, and any member's parent backtraces to the same word
-        # history, so the segment-end representative is exact.
+        # TPU-measured cost model (see DESIGN.md): batched take_along_axis
+        # gathers dominate this step (~0.2 ms each), while extra sort operands
+        # and MXU/VPU work are nearly free. So: (1) the four score components
+        # ride THROUGH the sort as operands (no post-sort gathers), (2) every
+        # other per-candidate field is packed into ONE int32 payload matrix
+        # gathered once for the K winners. Merged duplicates share identical
+        # (h1, h2, node, last, ctx, lm) by construction, and any member's
+        # parent backtraces to the same word history, so the segment-end
+        # representative is exact.
         N = cand["k1"].shape[0]
-        k1s, k2s, perm = jax.lax.sort(
-            (cand["k1"], cand["k2"], jnp.arange(N, dtype=jnp.int32)), num_keys=2
+        payload = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        jax.lax.bitcast_convert_type(cand["h1"], jnp.int32),
+                        jax.lax.bitcast_convert_type(cand["h2"], jnp.int32),
+                        cand["node"], cand["last"], cand["parent"],
+                        cand["sym"], cand["word"],
+                        jax.lax.bitcast_convert_type(cand["lm"], jnp.int32),
+                    ],
+                    axis=-1,
+                ),
+                cand["ctx"],
+            ],
+            axis=-1,
+        )  # (N, 8 + CW)
+
+        k1s, k2s, ss, nss, acss, acnss, perm = jax.lax.sort(
+            (cand["k1"], cand["k2"], cand["s"], cand["ns"],
+             cand["ac_s"], cand["ac_ns"], jnp.arange(N, dtype=jnp.int32)),
+            num_keys=2,
         )
-        ss = cand["s"][perm]
-        nss = cand["ns"][perm]
-        acss = cand["ac_s"][perm]
-        acnss = cand["ac_ns"][perm]
 
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
         )
-        s_tot = _seg_scan(ss, starts)
-        ns_tot = _seg_scan(nss, starts)
-        ac_s_tot = _seg_max(acss, starts)
-        ac_ns_tot = _seg_max(acnss, starts)
+        starts2 = jnp.broadcast_to(starts[:, None], (N, 2))
+        rank_pair = jnp.stack([ss, nss], axis=-1)          # (N, 2)
+        ac_pair = jnp.stack([acss, acnss], axis=-1)
+        merged = (_seg_scan(rank_pair, starts2) if sum_mode
+                  else _seg_max(rank_pair, starts2))
+        ac_merged = _seg_max(ac_pair, starts2)
         seg_end = jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
-        total = jnp.where(seg_end, _logaddexp(s_tot, ns_tot), -jnp.inf)
+        combined = (_logaddexp(merged[:, 0], merged[:, 1]) if sum_mode
+                    else jnp.maximum(merged[:, 0], merged[:, 1]))
+        total = jnp.where(seg_end, combined, -jnp.inf)
 
         top_total, top_idx = jax.lax.top_k(total, K)
         valid = top_total > -jnp.inf
-        win = perm[top_idx]  # original candidate index of each winner
+        # two K-wide gathers total: merged scores (+perm) and the payload
+        scores_and_perm = jnp.concatenate(
+            [merged, ac_merged, perm[:, None].astype(jnp.float32)], axis=-1
+        )[top_idx]                   # (K, 5); perm fits f32 exactly (N small)
+        win = scores_and_perm[:, 4].astype(jnp.int32)
+        pw = payload[win]            # (K, 8 + CW)
         new_state = LmBeamState(
-            h1=cand["h1"][win], h2=cand["h2"][win],
-            node=cand["node"][win], last=cand["last"][win],
-            ctx=cand["ctx"][win],
-            s=jnp.where(valid, s_tot[top_idx], NEG),
-            ns=jnp.where(valid, ns_tot[top_idx], NEG),
-            ac_s=jnp.where(valid, ac_s_tot[top_idx], NEG),
-            ac_ns=jnp.where(valid, ac_ns_tot[top_idx], NEG),
-            lm=cand["lm"][win],
+            h1=jax.lax.bitcast_convert_type(pw[:, 0], jnp.uint32),
+            h2=jax.lax.bitcast_convert_type(pw[:, 1], jnp.uint32),
+            node=pw[:, 2], last=pw[:, 3],
+            ctx=pw[:, 8:],
+            s=jnp.where(valid, scores_and_perm[:, 0], NEG),
+            ns=jnp.where(valid, scores_and_perm[:, 1], NEG),
+            ac_s=jnp.where(valid, scores_and_perm[:, 2], NEG),
+            ac_ns=jnp.where(valid, scores_and_perm[:, 3], NEG),
+            lm=jax.lax.bitcast_convert_type(pw[:, 7], jnp.float32),
         )
-        return new_state, cand["parent"][win], cand["sym"][win], cand["word"][win]
+        return new_state, pw[:, 4], pw[:, 5], pw[:, 6]
 
     # ----------------------------------------------------------------- scan
     def _build_scan(self):
         @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
                                                      "log_blank_penalty",
                                                      "blank_skip_thresh",
-                                                     "first_beam"))
+                                                     "first_beam", "sum_mode"))
         def scan_chunk(state, lp_chunk, scale: float, length_penalty: float,
                        log_blank_penalty: float, blank_skip_thresh: float,
-                       first_beam=None):
+                       first_beam=None, sum_mode: bool = True):
             if log_blank_penalty != 0.0:
                 lp_chunk = lp_chunk.at[:, self.blank].add(-log_blank_penalty)
 
@@ -459,7 +488,8 @@ class DeviceLexiconBeamSearch:
                 if use_skip:
                     lp, do_skip, do_reinsert = inputs
                     st_b, pb, sb, wb = self._expand(
-                        state, blank_row, scale, length_penalty, first_beam
+                        state, blank_row, scale, length_penalty, first_beam,
+                        sum_mode,
                     )
                     state = jax.tree_util.tree_map(
                         lambda n, o: jnp.where(
@@ -470,7 +500,7 @@ class DeviceLexiconBeamSearch:
                 else:
                     lp, do_skip = inputs[0], None
                 new_state, parents, syms, words = self._expand(
-                    state, lp, scale, length_penalty, first_beam
+                    state, lp, scale, length_penalty, first_beam, sum_mode
                 )
                 if use_skip:
                     keepmask = ~do_skip
@@ -493,7 +523,7 @@ class DeviceLexiconBeamSearch:
         return scan_chunk
 
     def _build_finalize(self):
-        def finalize(state: LmBeamState):
+        def finalize(state: LmBeamState, sum_mode: bool = True):
             """Close open words (no acoustic cost) + </s>; returns per-
             candidate scores over (K, H+1) [slot H = already-at-root]."""
             K, H = state.node.shape[0], self.H
@@ -513,7 +543,8 @@ class DeviceLexiconBeamSearch:
                 state.ctx, eos
             )                                                       # (K,)
 
-            score = _logaddexp(state.s, state.ns)
+            score = (_logaddexp(state.s, state.ns) if sum_mode
+                     else jnp.maximum(state.s, state.ns))
             at_root = state.node == 0
             la_adj = (self.la[0] - self.la[state.node])[:, None]
             close_score = jnp.where(
@@ -533,7 +564,13 @@ class DeviceLexiconBeamSearch:
             all_ac = jnp.broadcast_to(ac[:, None], (K, H + 1))
             return all_scores, all_words, all_lm, all_ac
 
-        return jax.jit(finalize), jax.jit(jax.vmap(finalize))
+        def finalize_batch(state, sum_mode: bool = True):
+            return jax.vmap(lambda s: finalize(s, sum_mode))(state)
+
+        return (
+            jax.jit(finalize, static_argnames=("sum_mode",)),
+            jax.jit(finalize_batch, static_argnames=("sum_mode",)),
+        )
 
     def _build_batch_scan(self):
         """Batched utterance decode: vmap the expansion over B utterances and
@@ -543,10 +580,10 @@ class DeviceLexiconBeamSearch:
 
         @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
                                                      "log_blank_penalty",
-                                                     "first_beam"))
+                                                     "first_beam", "sum_mode"))
         def scan_batch(state, lp_btv, lengths, scale: float,
                        length_penalty: float, log_blank_penalty: float,
-                       first_beam=None):
+                       first_beam=None, sum_mode: bool = True):
             B, T, V = lp_btv.shape
             K = state.s.shape[1]
             if log_blank_penalty != 0.0:
@@ -554,7 +591,7 @@ class DeviceLexiconBeamSearch:
 
             expand = jax.vmap(
                 lambda st, lp: self._expand(st, lp, scale, length_penalty,
-                                            first_beam)
+                                            first_beam, sum_mode)
             )
 
             def step(state, tl):
@@ -624,9 +661,11 @@ class DeviceLexiconBeamSearch:
             length_penalty=float(cfg.length_penalty),
             log_blank_penalty=log_bp,
             first_beam=cfg.first_beam_size or None,
+            sum_mode=bool(cfg.sum_mode),
         )
         scores, fwords, lms, acs = (
-            np.asarray(x) for x in self._finalize_batch(state)
+            np.asarray(x)
+            for x in self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
         )
         parents, syms, words = (np.asarray(r) for r in recs)  # (T, B, K)
 
@@ -673,6 +712,7 @@ class DeviceLexiconBeamSearch:
             log_blank_penalty=float(math.log(cfg.blank_penalty)),
             blank_skip_thresh=float(cfg.ctc_blank_skip_threshold),
             first_beam=cfg.first_beam_size or None,
+            sum_mode=bool(cfg.sum_mode),
         )
         self.records.append(tuple(np.asarray(r) for r in recs))
         self.n_frames += lp.shape[0]
@@ -695,7 +735,10 @@ class DeviceLexiconBeamSearch:
 
     def finish_decoding(self) -> List[DecodeResult]:
         cfg = self.config
-        scores, fwords, lms, acs = (np.asarray(x) for x in self._finalize_fn(self.state))
+        scores, fwords, lms, acs = (
+            np.asarray(x)
+            for x in self._finalize_fn(self.state, sum_mode=bool(cfg.sum_mode))
+        )
         flat = scores.reshape(-1)
         order = np.argsort(-flat)
         results: List[DecodeResult] = []

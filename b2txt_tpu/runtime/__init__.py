@@ -53,7 +53,7 @@ def _load():
     lib.b2t_set_opt.argtypes = [
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.b2t_decode.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -156,7 +156,7 @@ class NativeLexiconBeamSearch:
             self._h, config.acoustic_scale, config.blank_penalty,
             config.ctc_blank_skip_threshold, config.length_penalty,
             config.nbest, config.beam_width, config.beam, self.max_homophones,
-            config.first_beam_size,
+            config.first_beam_size, int(config.sum_mode),
         )
 
     def reset(self) -> None:

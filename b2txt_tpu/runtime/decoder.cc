@@ -330,6 +330,9 @@ struct Options {
   int max_homophones = 4;
   int first_beam = 0;          // restrict phone extensions to the frame's
                                // top-k phones (0 = all); SIL always kept
+  bool sum_mode = true;        // true: CTC-proper log-sum path merge
+                               // (ctc_prefix_beam_search semantics); false:
+                               // Viterbi max (Kaldi token passing over TLG)
 };
 
 struct Decoder {
@@ -361,7 +364,11 @@ struct Decoder {
     double s = kNegInf, ns = kNegInf;      // ranking (scaled ac + lm)
     double ac_s = kNegInf, ac_ns = kNegInf;
     double lm_score = 0.0;
-    double Score() const { return LogAdd(s, ns); }
+    // ranking: log-sum of the blank/non-blank components (CTC marginal) or
+    // Viterbi max, per Options::sum_mode
+    double Score(bool sum) const {
+      return sum ? LogAdd(s, ns) : std::max(s, ns);
+    }
     // blank/non-blank acoustic parts combine by log-sum (path marginal);
     // duplicates merge by max (viterbi) — mirrors lmbeam.py's ac tracking
     double Ac() const { return LogAdd(ac_s, ac_ns); }
@@ -467,10 +474,17 @@ struct Decoder {
         next_map.emplace(k, h);
       } else {
         Hyp& h = it->second;
-        h.s = LogAdd(h.s, s);
-        h.ns = LogAdd(h.ns, ns);
-        h.ac_s = std::max(h.ac_s, ac_s);
-        h.ac_ns = std::max(h.ac_ns, ac_ns);
+        if (opts.sum_mode) {
+          h.s = LogAdd(h.s, s);
+          h.ns = LogAdd(h.ns, ns);
+          h.ac_s = std::max(h.ac_s, ac_s);
+          h.ac_ns = std::max(h.ac_ns, ac_ns);
+        } else {
+          // Viterbi: each component keeps its best path (ac follows it —
+          // equal lm within a merge key makes argmax(s) == argmax(ac))
+          if (s > h.s) { h.s = s; h.ac_s = ac_s; }
+          if (ns > h.ns) { h.ns = ns; h.ac_ns = ac_ns; }
+        }
       }
     };
 
@@ -488,12 +502,13 @@ struct Decoder {
                        vals.end(), std::greater<float>());
       fb_thresh = vals[opts.first_beam - 1];
     }
+    const bool sum = opts.sum_mode;
     double window_cutoff = -std::numeric_limits<double>::infinity();
     if (!hyps.empty() && opts.beam > 0)
-      window_cutoff = hyps.front().Score() - opts.beam;
+      window_cutoff = hyps.front().Score(sum) - opts.beam;
 
     for (const Hyp& h : hyps) {
-      double score = h.Score();
+      double score = h.Score(sum);
       if (score < window_cutoff) continue;
       double ac = h.Ac();
       // blank / absorbed repeat (stay)
@@ -543,12 +558,14 @@ struct Decoder {
     ranked.reserve(next_map.size());
     for (auto& kv : next_map) ranked.push_back(kv.second);
     std::sort(ranked.begin(), ranked.end(),
-              [](const Hyp& a, const Hyp& b) { return a.Score() > b.Score(); });
+              [sum](const Hyp& a, const Hyp& b) {
+                return a.Score(sum) > b.Score(sum);
+              });
     if (static_cast<int>(ranked.size()) > opts.beam_width)
       ranked.resize(opts.beam_width);
     if (!ranked.empty() && opts.beam > 0) {
-      double cutoff = ranked[0].Score() - opts.beam;
-      while (!ranked.empty() && ranked.back().Score() < cutoff)
+      double cutoff = ranked[0].Score(sum) - opts.beam;
+      while (!ranked.empty() && ranked.back().Score(sum) < cutoff)
         ranked.pop_back();
     }
     hyps.swap(ranked);
@@ -623,7 +640,7 @@ struct Decoder {
     int ctx[8];
     int ctx_len;
     for (const Hyp& h : hyps) {
-      double score = h.Score();
+      double score = h.Score(opts.sum_mode);
       if (score == kNegInf) continue;
       if (h.node == 0) {
         Context(h.word_node, ctx, &ctx_len);
@@ -690,7 +707,7 @@ struct Decoder {
     if (hyps.empty()) return {"", 0.0, 0.0};
     const Hyp* best = &hyps[0];
     for (const Hyp& h : hyps)
-      if (h.Score() > best->Score()) best = &h;
+      if (h.Score(opts.sum_mode) > best->Score(opts.sum_mode)) best = &h;
     return {Sentence(CollectWords(best->word_node, -1)), best->Ac(),
             best->lm_score};
   }
@@ -749,7 +766,7 @@ void b2t_reset(void* p) { static_cast<B2TDecoder*>(p)->dec->Reset(); }
 void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
                  double blank_skip_thresh, double length_penalty, int nbest,
                  int beam_width, double beam, int max_homophones,
-                 int first_beam) {
+                 int first_beam, int sum_mode) {
   auto& o = static_cast<B2TDecoder*>(p)->dec->opts;
   o.acoustic_scale = acoustic_scale;
   o.blank_penalty = blank_penalty;
@@ -760,6 +777,7 @@ void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
   o.beam = beam;
   o.max_homophones = max_homophones;
   o.first_beam = first_beam;
+  o.sum_mode = sum_mode != 0;
 }
 
 void b2t_decode(void* p, const float* logprobs, int T, int C) {

@@ -205,6 +205,12 @@ class DecodeConfig:
     # Shrinks the device searcher's per-frame sort ~3x; CTC posteriors are
     # peaked, so quality impact is nil at >= 8.
     first_beam_size: int = 0
+    # Path-merge rule for hypotheses reaching the same (word history, trie
+    # node, last phone) state: True = CTC-proper log-sum (the reference's
+    # ctc_prefix_beam_search.cc semantics), False = Viterbi max (the
+    # reference's Kaldi token passing over TLG.fst). All three searchers
+    # honor it.
+    sum_mode: bool = True
 
     def to_dict(self) -> Dict[str, Any]:
         return _asdict(self)

@@ -1,10 +1,22 @@
-"""Headline benchmark: end-to-end sentence decode throughput on one chip.
+"""Headline benchmark: end-to-end sentence decode throughput at REFERENCE
+SCALE on one chip.
 
 Pipeline = the reference's two-process decode flow, rebuilt:
   stage 1 (TPU):  valid-padding Gaussian smoothing → day-adapted 5×768 GRU
                   (bf16, full rnn_args.yaml shapes) → greedy CTC ids
-  stage 2 (host): lexicon+n-gram fused beam search (native C++ runtime,
-                  beam 128, nbest 20, 2000-word 3-gram)
+  stage 2 (host): lexicon+n-gram fused beam search (native C++ runtime) at
+                  the reference's production scale — 125,000-word lexicon,
+                  3-gram decode LM (weighted-difference-pruned) + unpruned
+                  3-gram n-best rescoring (the G/G_no_prune pair,
+                  reference README.md:101 + brain_speech_decoder.cc:61-101),
+                  canonical decode params (acoustic_scale 0.325,
+                  blank_penalty 90, nbest 100, beam 17 —
+                  model_training/README.md:37)
+
+Test utterances carry trained-model CTC temporal statistics (1-3-frame
+phoneme spikes, blank-dominated elsewhere — data/synthetic.ctc_logprobs);
+decode_exact counts top-1 exact sentence matches. A 2,000-word small-vocab
+measurement is reported under extra for continuity with round 1.
 
 Stage 1 generates inputs on-device (PRNG) and returns only the decoded ids, so
 the measurement is device throughput, not tunnel bandwidth (the axon remote
@@ -56,6 +68,7 @@ def rnn_stage_rate():
     S = 8                   # batches chained per device call (amortization)
     dt = cfg.dataset.data_transforms
     day_idx = jnp.asarray(np.arange(B) % 45, jnp.int32)
+    use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
     def run_chunk(params, key):
@@ -70,6 +83,7 @@ def rnn_stage_rate():
                 patch_size=cfg.model.patch_size,
                 patch_stride=cfg.model.patch_stride,
                 compute_dtype=jnp.bfloat16,
+                use_pallas=use_pallas,
             )
             P = logits.shape[1]
             ids = greedy_decode_ids(
@@ -88,75 +102,107 @@ def rnn_stage_rate():
     dt_s = time.perf_counter() - t0
     sentences = B * S * iters
     return sentences / dt_s, {
-        "batch": B, "bins_per_sentence": T,
+        "batch": B, "bins_per_sentence": T, "use_pallas_gru": use_pallas,
         "per_bin_latency_us": round(1e6 * dt_s / (sentences * T), 4),
     }
 
 
-def lm_stage_rate():
-    """Native C++ fused beam search over peaked synthetic logits."""
-    import os
+def build_world(vocab_size: int, order: int = 3, seed: int = 0,
+                prune_threshold: float = 3e-8):
+    """Synthetic decode world: vocab_size-word lexicon with full LM coverage,
+    natively-trained unpruned 3-gram + weighted-difference-pruned decode LM
+    (the reference's G / G_no_prune pair)."""
     import tempfile
 
-    from b2txt_tpu.lm import Lexicon, train_ngram
-    from b2txt_tpu.runtime import NativeLexiconBeamSearch
-    from b2txt_tpu.utils.config import DecodeConfig
+    from b2txt_tpu.lm import Lexicon
+    from b2txt_tpu.lm.ngram import NGramLM
+    from b2txt_tpu.runtime import train_ngram_native
     from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     phones = LOGIT_TO_PHONEME[1:40]
     words = {}
-    while len(words) < 2000:
+    while len(words) < vocab_size:
         L = rng.integers(2, 8)
         pron = [phones[i] for i in rng.integers(0, 39, L)]
         words["w" + "".join(p.lower() for p in pron)] = pron
     lex = Lexicon.from_words(words)
     wl = list(words.keys())
-    lm = train_ngram(
-        [[wl[i] for i in rng.integers(0, 2000, rng.integers(3, 10))]
-         for _ in range(3000)],
-        order=3,
-    )
+
     tmp = tempfile.mkdtemp()
+    corpus_path = os.path.join(tmp, "corpus.txt")
+    with open(corpus_path, "w") as f:
+        perm = rng.permutation(vocab_size)  # every word covered
+        for i in range(0, vocab_size, 6):
+            f.write(" ".join(wl[j] for j in perm[i : i + 6]) + "\n")
+        for _ in range(max(3000, vocab_size // 5)):
+            f.write(" ".join(
+                wl[i] for i in rng.integers(0, vocab_size, rng.integers(3, 10))
+            ) + "\n")
+    arpa_unpruned = os.path.join(tmp, "lm_unpruned.arpa")
+    train_ngram_native(corpus_path, arpa_unpruned, order=order)
     arpa = os.path.join(tmp, "lm.arpa")
-    lm.to_arpa(arpa)
+    NGramLM.from_arpa(arpa_unpruned).prune(prune_threshold).to_arpa(arpa)
     lexp = os.path.join(tmp, "lexicon.txt")
     with open(lexp, "w") as f:
         for w, p in words.items():
             f.write(f"{w.upper()}  {' '.join(p)}\n")
+    return lex, wl, arpa, arpa_unpruned, lexp, rng
 
-    def utt():
-        sw = [wl[i] for i in rng.integers(0, 2000, 6)]
+
+def make_utts(lex, wl, rng, n: int, words_per: int = 6, noise: float = 0.3):
+    from b2txt_tpu.data.synthetic import ctc_logprobs
+
+    out = []
+    for _ in range(n):
+        sw = [wl[i] for i in rng.integers(0, len(wl), words_per)]
         ids = lex.sentence_to_phonemes(" ".join(sw))
-        rows = []
-        for pid in ids:
-            for _ in range(2):
-                r = np.full(41, -12.0, np.float32)
-                r[pid] = 0.0
-                rows.append(r)
-            b = np.full(41, -12.0, np.float32)
-            b[0] = 0.0
-            rows.append(b)
-        lp = np.stack(rows)
-        return " ".join(sw), lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        out.append((" ".join(sw), ctc_logprobs(rng, ids, hot=12.0, noise=noise)))
+    return out
 
-    utts = [utt() for _ in range(48)]
-    dec = NativeLexiconBeamSearch(
-        arpa, lexp,
-        DecodeConfig(acoustic_scale=0.325, blank_penalty=9.0, nbest=20,
-                     beam_width=128, beam=17.0),
+
+def lm_stage_rate():
+    """Native fused beam search at the reference's 125k-word production scale
+    with pruned-decode + unpruned-rescore, plus a 2k small-vocab reference
+    point (round-1 continuity)."""
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+    from b2txt_tpu.utils.config import DecodeConfig
+
+    cfg = DecodeConfig(
+        acoustic_scale=0.325, blank_penalty=90.0, nbest=100,
+        beam_width=128, beam=17.0, first_beam_size=8,
+        sum_mode=False,  # Kaldi token-passing (Viterbi) ranking, as reference
     )
-    correct = 0
-    t0 = time.perf_counter()
-    for sent, lp in utts:
-        dec.reset()
-        dec.decode(lp)
-        r = dec.finish_decoding()
-        correct += bool(r) and r[0].sentence == sent
-    dt_s = time.perf_counter() - t0
-    return len(utts) / dt_s, {
-        "decode_exact": f"{correct}/{len(utts)}",
-        "vocab": 2000, "beam_width": 128, "nbest": 20,
+
+    def run(vocab, n_utts):
+        t0 = time.perf_counter()
+        lex, wl, arpa, arpa_unpruned, lexp, rng = build_world(vocab)
+        build_s = time.perf_counter() - t0
+        utts = make_utts(lex, wl, rng, n_utts)
+        t0 = time.perf_counter()
+        dec = NativeLexiconBeamSearch(arpa, lexp, cfg, rescore_arpa=arpa_unpruned)
+        load_s = time.perf_counter() - t0
+        correct = 0
+        t0 = time.perf_counter()
+        for sent, lp in utts:
+            dec.reset()
+            dec.decode(lp)
+            r = dec.finish_decoding()
+            correct += bool(r) and r[0].sentence == sent
+        dt_s = time.perf_counter() - t0
+        return n_utts / dt_s, {
+            "decode_exact": f"{correct}/{n_utts}",
+            "build_s": round(build_s, 1), "lm_load_s": round(load_s, 2),
+        }
+
+    rate_125k, info_125k = run(125_000, 48)
+    rate_2k, info_2k = run(2_000, 48)
+    return rate_125k, {
+        "vocab": 125_000, "beam_width": 128, "nbest": 100,
+        "rescore": "unpruned-3gram", "blank_penalty": 90.0,
+        "acoustic_scale": 0.325, "first_beam": 8, "merge": "viterbi",
+        **info_125k,
+        "small_vocab_2k": {"sentences_per_sec": round(rate_2k, 2), **info_2k},
     }
 
 

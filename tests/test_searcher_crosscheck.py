@@ -87,6 +87,13 @@ CONFIGS = [
          ctc_blank_skip_threshold=0.95, length_penalty=0.0, beam=0.0),
     dict(acoustic_scale=0.325, blank_penalty=2.0, first_beam_size=8,
          ctc_blank_skip_threshold=0.9, length_penalty=0.2, beam=17.0),
+    # Viterbi merge (Kaldi token-passing semantics)
+    dict(acoustic_scale=0.5, blank_penalty=1.0, first_beam_size=0,
+         ctc_blank_skip_threshold=1.0, length_penalty=0.0, beam=0.0,
+         sum_mode=False),
+    dict(acoustic_scale=0.325, blank_penalty=9.0, first_beam_size=8,
+         ctc_blank_skip_threshold=1.0, length_penalty=0.0, beam=0.0,
+         sum_mode=False),
 ]
 
 
