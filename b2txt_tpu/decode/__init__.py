@@ -1,6 +1,7 @@
 from .prefix_beam import CtcPrefixBeamSearch, ctc_prefix_beam_search
 from .prefix_beam_jax import beam_search_scan, ctc_prefix_beam_search_jax, backtrace
 from .lmbeam import DecodeResult, LexiconBeamSearch, decode_numpy
+from .jax_lm import JaxCausalLMRescorer
 from .rescore import (
     NGramLLMAdapter,
     TorchCausalLMRescorer,

@@ -184,18 +184,29 @@ class TorchCausalLMRescorer:
         model_name: str = "facebook/opt-6.7b",
         cache_dir: Optional[str] = None,
         device: Optional[str] = None,
+        model=None,
+        tokenizer=None,
     ):
+        """Load by hub id, or pass instantiated (model, tokenizer) — the
+        offline path (no downloads) used by tests and custom deployments."""
         import torch
-        from transformers import AutoModelForCausalLM, AutoTokenizer
 
         self.torch = torch
         self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name, cache_dir=cache_dir)
-        self.model = AutoModelForCausalLM.from_pretrained(
-            model_name,
-            cache_dir=cache_dir,
-            torch_dtype=torch.float16 if self.device != "cpu" else torch.float32,
-        )
+        if model is not None and tokenizer is not None:
+            self.model = model
+            self.tokenizer = tokenizer
+        else:
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_name, cache_dir=cache_dir
+            )
+            self.model = AutoModelForCausalLM.from_pretrained(
+                model_name,
+                cache_dir=cache_dir,
+                torch_dtype=torch.float16 if self.device != "cpu" else torch.float32,
+            )
         if self.device != "cpu":
             self.model = self.model.to(self.device)
         self.model.eval()

@@ -101,6 +101,13 @@ def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
+def default_use_pallas() -> bool:
+    """Resolve the ``use_pallas=None`` auto mode: the VMEM-resident Pallas
+    recurrence kernel on real TPU; the XLA scan elsewhere (CPU test backend
+    has no Mosaic lowering — interpret mode is for parity tests only)."""
+    return jax.default_backend() == "tpu"
+
+
 def extract_patches(x: jax.Array, patch_size: int, patch_stride: int) -> jax.Array:
     """(B, T, D) → (B, P, patch_size*D) sliding windows, feature-fastest order
     (parity with the unfold/permute/reshape at rnn_model.py:106-119)."""
@@ -170,7 +177,7 @@ def forward(
     patch_stride: int = 4,
     compute_dtype=jnp.float32,
     skip_day_layer: bool = False,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Forward pass. x: (B, T, D) features, day_idx: (B,) int day indices.
 
@@ -183,6 +190,8 @@ def forward(
     B = x.shape[0]
     n_layers = len(params["layers"])
     H = params["h0"].shape[-1]
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
 
     if not skip_day_layer:
         # Day-specific affine + softsign (rnn_model.py:94-99).

@@ -123,7 +123,9 @@ def build_world(vocab_size: int, order: int = 3, seed: int = 0,
     phones = LOGIT_TO_PHONEME[1:40]
     words = {}
     while len(words) < vocab_size:
-        L = rng.integers(2, 8)
+        # 3-9 phones (avg ~6) — CMUdict-like; 2-phone-heavy random vocabs
+        # create pathological homophone/prefix ambiguity no real lexicon has
+        L = rng.integers(3, 10)
         pron = [phones[i] for i in rng.integers(0, 39, L)]
         words["w" + "".join(p.lower() for p in pron)] = pron
     lex = Lexicon.from_words(words)

@@ -41,17 +41,18 @@ def build_world(vocab_size: int, order: int, seed: int = 0):
     phones = LOGIT_TO_PHONEME[1:40]
     words = {}
     while len(words) < vocab_size:
-        L = rng.integers(2, 8)
+        L = rng.integers(3, 10)  # CMUdict-like lengths (see bench.build_world)
         pron = [phones[i] for i in rng.integers(0, 39, L)]
         words["w" + "".join(p.lower() for p in pron)] = pron
     lex = Lexicon.from_words(words)
     wl = list(words.keys())
     n_sents = max(3000, vocab_size // 10)
-    lm = train_ngram(
-        [[wl[i] for i in rng.integers(0, vocab_size, rng.integers(3, 10))]
-         for _ in range(n_sents)],
-        order=order,
-    )
+    corpus = [[wl[i] for i in rng.integers(0, vocab_size, rng.integers(3, 10))]
+              for _ in range(n_sents)]
+    perm = rng.permutation(vocab_size)  # every word LM-covered
+    corpus += [[wl[j] for j in perm[i : i + 6]]
+               for i in range(0, vocab_size, 6)]
+    lm = train_ngram(corpus, order=order)
     tmp = tempfile.mkdtemp()
     arpa = os.path.join(tmp, "lm.arpa")
     lm.to_arpa(arpa)
