@@ -177,6 +177,23 @@ def _backtrace_batch(
     return ws
 
 
+def _backtrace_all(parents: np.ndarray, words: np.ndarray) -> np.ndarray:
+    """Vectorized word backtrace for every final beam of every utterance.
+
+    parents/words: (T, B, K). Returns (T, B, K) int32 where [:, b, k] is the
+    chronological word-emission trace of final beam k (−1 = no word). One
+    numpy pass over T replaces per-candidate Python loops (the host-side
+    n-best extraction was costing more than the device scan)."""
+    T, B, K = parents.shape
+    b_idx = np.arange(B)[:, None]
+    cur = np.broadcast_to(np.arange(K, dtype=np.int64)[None], (B, K)).copy()
+    out = np.empty((T, B, K), np.int32)
+    for t in range(T - 1, -1, -1):
+        out[t] = words[t][b_idx, cur]
+        cur = parents[t][b_idx, cur]
+    return out
+
+
 class DeviceLexiconBeamSearch:
     """Stateful streaming decoder with the reset/decode/finalize protocol,
     running the search itself on device."""
@@ -345,7 +362,9 @@ class DeviceLexiconBeamSearch:
         # ---- 4. close word(s): SIL at word-final node, n-gram scored
         wids = self.trie.words_at[state.node]         # (K, H)
         w_ok = wids >= 0
-        wlp = jax.vmap(jax.vmap(self.dev_lm.logp, in_axes=(None, 0)), in_axes=(0, 0))(
+        # one logp_words call per beam: context hashing + backoff probes run
+        # once per K, gram probes per (K, H)
+        wlp = jax.vmap(self.dev_lm.logp_words)(
             state.ctx, jnp.maximum(wids, 0)
         )                                             # (K, H)
         wlp = wlp + length_penalty
@@ -530,8 +549,9 @@ class DeviceLexiconBeamSearch:
             CW = state.ctx.shape[1]
             wids = self.trie.words_at[state.node]      # (K, H)
             w_ok = wids >= 0
-            wlp = jax.vmap(jax.vmap(self.dev_lm.logp, in_axes=(None, 0)),
-                           in_axes=(0, 0))(state.ctx, jnp.maximum(wids, 0))
+            wlp = jax.vmap(self.dev_lm.logp_words)(
+                state.ctx, jnp.maximum(wids, 0)
+            )
             new_ctx = jnp.concatenate(
                 [jnp.broadcast_to(state.ctx[:, None, 1:], (K, H, CW - 1)),
                  jnp.maximum(wids, 0)[:, :, None]], axis=2
@@ -668,6 +688,7 @@ class DeviceLexiconBeamSearch:
             for x in self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
         )
         parents, syms, words = (np.asarray(r) for r in recs)  # (T, B, K)
+        traces = _backtrace_all(parents, words)               # (T, B, K)
 
         n_out = nbest or cfg.nbest
         results: List[List[DecodeResult]] = []
@@ -681,7 +702,8 @@ class DeviceLexiconBeamSearch:
                 if len(out) >= n_out or not np.isfinite(flat[idx]):
                     break
                 k, j = divmod(int(idx), H1)
-                ws = _backtrace_batch(parents[:, b], syms[:, b], words[:, b], k)
+                col = traces[:, b, k]
+                ws = col[col >= 0].tolist()
                 if fwords[b, k, j] >= 0:
                     ws = ws + [int(fwords[b, k, j])]
                 if not ws:

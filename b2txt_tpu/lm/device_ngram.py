@@ -24,7 +24,7 @@ from .lexicon import Lexicon
 from .ngram import BOS, EOS, NGramLM, UNK
 from ..utils.config import DecodeConfig
 
-MAX_PROBES = 16
+MAX_PROBES = 8  # Robin-Hood bound: tables grow until every chain fits
 
 
 def _mix_np(h: np.ndarray, c: np.ndarray, seed: int) -> np.ndarray:
@@ -62,72 +62,104 @@ def hash_extend_jnp(h1: jax.Array, h2: jax.Array, wid: jax.Array):
 
 @dataclass
 class HashTable:
-    """Open-addressing table: (key1, key2) uint32 pair → (value, backoff)."""
+    """Open-addressing table: (key1, key2) uint32 pair → (value, backoff).
 
-    key1: np.ndarray
-    key2: np.ndarray
-    value: np.ndarray
-    backoff: np.ndarray
+    Packed layout: one (size, 4) int32 matrix with columns [key1, key2,
+    value_bits, backoff_bits] so every probe is ONE gather instead of four —
+    the device beam search's per-frame cost is dominated by these probes
+    (measured: the LM-probe chain was 93% of the fused step before packing).
+    Robin-Hood insertion bounds the worst probe chain to MAX_PROBES (the
+    table grows until the bound holds), so lookups always gather a fixed,
+    small window. int32 storage avoids any float-NaN canonicalization of key
+    bit patterns in transfers.
+    """
 
+    packed: np.ndarray   # (size, 4) int32
     max_probe: int = 1
 
     @classmethod
     def build(cls, entries: Dict[Tuple[int, ...], Tuple[float, float]]) -> "HashTable":
-        n = max(len(entries), 1)
-        size = 1
-        while size < 2 * n:
-            size *= 2
-        key1 = np.zeros(size, np.uint32)
-        key2 = np.zeros(size, np.uint32)
-        value = np.zeros(size, np.float32)
-        backoff = np.zeros(size, np.float32)
-        mask = size - 1
-        max_probe = 1
+        items = []
         for ids, (v, b) in entries.items():
             h1, h2 = hash_ids_np(ids)
             if h1 == 0 and h2 == 0:
                 h1 = np.uint32(1)
+            items.append((np.uint32(h1), np.uint32(h2),
+                          np.float32(v), np.float32(b)))
+
+        n = max(len(items), 1)
+        size = 1
+        while size < 2 * n:
+            size *= 2
+        while True:
+            table = cls._try_build(items, size)
+            if table is not None:
+                return table
+            size *= 2  # probe bound exceeded: lower the load factor
+
+    @classmethod
+    def _try_build(cls, items, size: int) -> Optional["HashTable"]:
+        mask = size - 1
+        key1 = np.zeros(size, np.uint32)
+        key2 = np.zeros(size, np.uint32)
+        value = np.zeros(size, np.float32)
+        backoff = np.zeros(size, np.float32)
+        dist = np.full(size, -1, np.int32)  # -1 = empty
+        max_probe = 1
+        for h1, h2, v, b in items:
+            d = 0
             slot = int(h1) & mask
-            for probe in range(size):
-                if key1[slot] == 0 and key2[slot] == 0:
-                    key1[slot] = h1 if (h1 or h2) else 1
-                    key2[slot] = h2
-                    value[slot] = v
-                    backoff[slot] = b
-                    max_probe = max(max_probe, probe + 1)
+            while True:
+                if d >= MAX_PROBES:
+                    return None
+                if dist[slot] < 0:
+                    key1[slot], key2[slot] = h1, h2
+                    value[slot], backoff[slot] = v, b
+                    dist[slot] = d
+                    max_probe = max(max_probe, d + 1)
                     break
                 if key1[slot] == h1 and key2[slot] == h2:
                     break  # duplicate hash (collision) — keep first
+                if dist[slot] < d:  # Robin Hood: displace the richer entry
+                    key1[slot], h1 = h1, key1[slot]
+                    key2[slot], h2 = h2, key2[slot]
+                    value[slot], v = v, value[slot]
+                    backoff[slot], b = b, backoff[slot]
+                    dist[slot], d = d, dist[slot]
+                    max_probe = max(max_probe, dist[slot] + 1)
                 slot = (slot + 1) & mask
-        return cls(key1, key2, value, backoff, max_probe)
+                d += 1
+        packed = np.stack(
+            [key1.view(np.int32), key2.view(np.int32),
+             value.view(np.int32), backoff.view(np.int32)],
+            axis=1,
+        )
+        return cls(packed, max_probe)
 
     def as_device(self):
         # max_probe rides along as a static int: lookups gather exactly the
         # longest real probe chain instead of a worst-case constant.
-        return (
-            jnp.asarray(self.key1), jnp.asarray(self.key2),
-            jnp.asarray(self.value), jnp.asarray(self.backoff),
-            int(self.max_probe),
-        )
+        return jnp.asarray(self.packed), int(self.max_probe)
 
 
 def _lookup(table, h1, h2, not_found: float):
     """Probe table for key (h1, h2). Returns (value, backoff, found).
 
-    All MAX_PROBES linear-probe slots are gathered at once (one vector gather
-    instead of a sequential fori_loop — the serialized version dominated the
-    fused beam search's per-frame latency). Tables never delete, so a probe
-    chain ends at the first empty slot: hits past it are masked out.
+    One packed gather fetches all probe slots' [key1, key2, value, backoff]
+    columns at once. Robin-Hood displacement keeps chains contiguous, so the
+    chain still ends at the first empty slot: hits past it are masked out.
     """
-    key1, key2, value, backoff, max_probe = table
-    mask = key1.shape[0] - 1
+    packed, max_probe = table
+    size = packed.shape[0]
+    mask = size - 1
     h1 = jnp.where((h1 == 0) & (h2 == 0), jnp.uint32(1), h1)
     slot0 = (h1 & jnp.uint32(mask)).astype(jnp.int32)
 
     probes = jnp.arange(max_probe, dtype=jnp.int32)  # true per-table bound
     slots = (slot0[..., None] + probes) & mask          # (..., P)
-    k1 = key1[slots]
-    k2 = key2[slots]
+    rows = packed[slots]                                # (..., P, 4) — 1 gather
+    k1 = rows[..., 0].astype(jnp.uint32)
+    k2 = rows[..., 1].astype(jnp.uint32)
     hit = (k1 == h1[..., None]) & (k2 == h2[..., None])
     empty = (k1 == 0) & (k2 == 0)
     # valid up to (and excluding) the first empty slot
@@ -135,9 +167,17 @@ def _lookup(table, h1, h2, not_found: float):
     hit = hit & before_empty
     found = jnp.any(hit, axis=-1)
     idx = jnp.argmax(hit, axis=-1)
-    chosen = jnp.take_along_axis(slots, idx[..., None], axis=-1)[..., 0]
-    v = jnp.where(found, value[chosen], jnp.float32(not_found))
-    b = jnp.where(found, backoff[chosen], 0.0)
+    chosen = jnp.take_along_axis(rows, idx[..., None, None], axis=-2)[..., 0, :]
+    v = jnp.where(
+        found,
+        jax.lax.bitcast_convert_type(chosen[..., 2], jnp.float32),
+        jnp.float32(not_found),
+    )
+    b = jnp.where(
+        found,
+        jax.lax.bitcast_convert_type(chosen[..., 3], jnp.float32),
+        0.0,
+    )
     return v, b, found
 
 
@@ -263,19 +303,21 @@ class DeviceNGram:
         unk = lm.tables[0].get((UNK,), (-23.0, 0.0))[0]
         return cls(order=lm.order, n_words=n_words, tables=tables, unk_logp=float(unk))
 
-    def logp(self, context: jax.Array, word: jax.Array) -> jax.Array:
-        """log P(word | context) for one candidate.
+    def logp_words(self, context: jax.Array, words: jax.Array) -> jax.Array:
+        """log P(word | context) for a SET of candidate words sharing one
+        context. context: (order-1,) int32 ids, -1 padded on the LEFT (most
+        recent word last); words: (H,) int32. Returns (H,) log-probs.
 
-        context: (order-1,) int32 word ids, -1 padded on the LEFT (most recent
-        word last). Vectorize with vmap.
+        Context suffix hashing and the backoff-weight probes depend only on
+        the context, so they run once per beam rather than once per candidate
+        word — in the fused beam search this cuts the LM-probe work on the
+        homophone axis ~2× on top of the packed-table gathers.
         """
         order = self.order
         ctxs = []  # hash pairs of each context suffix, longest first
         for start in range(order - 1):
-            ids = context[start:]
             h1 = jnp.uint32(0x811C9DC5)
             h2 = jnp.uint32(0x01000193)
-            valid = jnp.bool_(True)
             for j in range(start, order - 1):
                 w = context[j]
                 h1n, h2n = hash_extend_jnp(h1, h2, w)
@@ -285,9 +327,10 @@ class DeviceNGram:
             ctxs.append((h1, h2))
 
         # longest-match with accumulated backoff, unrolled over orders
-        result = jnp.float32(self.unk_logp)
-        resolved = jnp.bool_(False)
-        bo_acc = jnp.float32(0.0)
+        H = words.shape[0]
+        result = jnp.full((H,), self.unk_logp, jnp.float32)
+        resolved = jnp.zeros((H,), bool)
+        bo_acc = jnp.zeros((H,), jnp.float32)
         for level in range(order - 1, -1, -1):
             # level = number of context words used
             if level > 0:
@@ -300,15 +343,19 @@ class DeviceNGram:
                 ch1 = jnp.uint32(0x811C9DC5)
                 ch2 = jnp.uint32(0x01000193)
                 level_ok = jnp.bool_(True)
-            gh1, gh2 = hash_extend_jnp(ch1, ch2, word)
+            gh1, gh2 = hash_extend_jnp(ch1, ch2, words)       # (H,)
             v, _, found = _lookup(self.tables[level], gh1, gh2, self.unk_logp)
             # NO_PROB (-99 log10) entries exist only as backoff contexts
             hit = found & (v > -200.0) & level_ok & ~resolved
             result = jnp.where(hit, bo_acc + v, result)
             resolved = resolved | hit
             if level > 0:
-                # accumulate this context's backoff weight before descending
+                # this context's backoff weight: ONE probe, broadcast over H
                 _, bow, ctx_found = _lookup(self.tables[level - 1], ch1, ch2, 0.0)
                 add = jnp.where(ctx_found & level_ok & ~resolved, bow, 0.0)
                 bo_acc = bo_acc + add
         return jnp.where(resolved, result, bo_acc + self.unk_logp)
+
+    def logp(self, context: jax.Array, word: jax.Array) -> jax.Array:
+        """log P(word | context) for one candidate (see logp_words)."""
+        return self.logp_words(context, word.reshape(1))[0]
