@@ -146,8 +146,9 @@ def _lookup(table, h1, h2, not_found: float):
     """Probe table for key (h1, h2). Returns (value, backoff, found).
 
     One packed gather fetches all probe slots' [key1, key2, value, backoff]
-    columns at once. Robin-Hood displacement keeps chains contiguous, so the
-    chain still ends at the first empty slot: hits past it are masked out.
+    columns at once. Keys are unique in the table (build dedups), so the
+    probe window contains AT MOST one hit — the select reduces to a masked
+    sum, no cumsum/argmax/second gather.
     """
     packed, max_probe = table
     size = packed.shape[0]
@@ -161,22 +162,16 @@ def _lookup(table, h1, h2, not_found: float):
     k1 = rows[..., 0].astype(jnp.uint32)
     k2 = rows[..., 1].astype(jnp.uint32)
     hit = (k1 == h1[..., None]) & (k2 == h2[..., None])
-    empty = (k1 == 0) & (k2 == 0)
-    # valid up to (and excluding) the first empty slot
-    before_empty = jnp.cumsum(empty.astype(jnp.int32), axis=-1) == 0
-    hit = hit & before_empty
     found = jnp.any(hit, axis=-1)
-    idx = jnp.argmax(hit, axis=-1)
-    chosen = jnp.take_along_axis(rows, idx[..., None, None], axis=-2)[..., 0, :]
+    vbits = jnp.sum(jnp.where(hit, rows[..., 2], 0), axis=-1)
+    bbits = jnp.sum(jnp.where(hit, rows[..., 3], 0), axis=-1)
     v = jnp.where(
         found,
-        jax.lax.bitcast_convert_type(chosen[..., 2], jnp.float32),
+        jax.lax.bitcast_convert_type(vbits, jnp.float32),
         jnp.float32(not_found),
     )
     b = jnp.where(
-        found,
-        jax.lax.bitcast_convert_type(chosen[..., 3], jnp.float32),
-        0.0,
+        found, jax.lax.bitcast_convert_type(bbits, jnp.float32), 0.0
     )
     return v, b, found
 
@@ -184,11 +179,18 @@ def _lookup(table, h1, h2, not_found: float):
 @dataclass
 class DeviceNGram:
     """Packed n-gram LM. Word ids are lexicon ids; BOS/EOS/UNK get reserved
-    ids n_words, n_words+1, n_words+2."""
+    ids n_words, n_words+1, n_words+2.
+
+    ALL orders live in ONE unified hash table (the 64-bit sequence hash keeps
+    different-length grams distinct), so a full backoff-chain query needs just
+    TWO gathers: one stacked probe for every gram level and one for every
+    context's backoff weight — the n-gram score is the fused beam search's
+    per-frame cost driver, and gather count is what the TPU charges for.
+    """
 
     order: int
     n_words: int
-    tables: List[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]
+    table: Tuple[jax.Array, int]
     unk_logp: float
 
     @property
@@ -236,20 +238,17 @@ class DeviceNGram:
                     break
         order = len(counts) if max_order is None else min(len(counts), max_order)
 
-        tables = []
         unk_logp = -23.0
+        entries: Dict[Tuple[int, ...], Tuple[float, float]] = {}
         with opener(path, "rt") as f:
             # skip to first gram section
             for line in f:
                 if line.strip() == "\\1-grams:":
                     break
             cur = 1
-            entries: Dict[Tuple[int, ...], Tuple[float, float]] = {}
             for line in f:
                 s = line.strip()
                 if s.startswith("\\") and s.endswith("-grams:"):
-                    tables.append(HashTable.build(entries).as_device())
-                    entries = {}
                     cur = int(s[1:].split("-")[0])
                     if cur > order:
                         break
@@ -274,11 +273,8 @@ class DeviceNGram:
                 if any(i == -2 for i in ids):
                     continue
                 entries[ids] = (logp, bow)
-            if entries and len(tables) < order:
-                tables.append(HashTable.build(entries).as_device())
-        while len(tables) < order:
-            tables.append(HashTable.build({}).as_device())
-        return cls(order=order, n_words=n_words, tables=tables,
+        return cls(order=order, n_words=n_words,
+                   table=HashTable.build(entries).as_device(),
                    unk_logp=float(unk_logp))
 
     @classmethod
@@ -291,17 +287,17 @@ class DeviceNGram:
                 return special[w]
             return lexicon.word_ids.get(w, -1)
 
-        tables = []
+        packed: Dict[Tuple[int, ...], Tuple[float, float]] = {}
         for k in range(lm.order):
-            packed: Dict[Tuple[int, ...], Tuple[float, float]] = {}
             for gram, (logp, bow) in lm.tables[k].items():
                 ids = tuple(wid(w) for w in gram)
                 if any(i < 0 for i in ids):
                     continue  # word not in decode lexicon
                 packed[ids] = (logp, bow)
-            tables.append(HashTable.build(packed).as_device())
         unk = lm.tables[0].get((UNK,), (-23.0, 0.0))[0]
-        return cls(order=lm.order, n_words=n_words, tables=tables, unk_logp=float(unk))
+        return cls(order=lm.order, n_words=n_words,
+                   table=HashTable.build(packed).as_device(),
+                   unk_logp=float(unk))
 
     def logp_words(self, context: jax.Array, words: jax.Array) -> jax.Array:
         """log P(word | context) for a SET of candidate words sharing one
@@ -326,33 +322,43 @@ class DeviceNGram:
                 h2 = jnp.where(use, h2n, h2)
             ctxs.append((h1, h2))
 
-        # longest-match with accumulated backoff, unrolled over orders
+        # TWO stacked probes into the unified table: one for every gram
+        # level's (context + word) key, one for every context's backoff entry.
         H = words.shape[0]
-        result = jnp.full((H,), self.unk_logp, jnp.float32)
-        resolved = jnp.zeros((H,), bool)
-        bo_acc = jnp.zeros((H,), jnp.float32)
-        for level in range(order - 1, -1, -1):
-            # level = number of context words used
+        levels = list(range(order - 1, 0, -1))  # contexts, longest first
+        gk1, gk2 = [], []
+        for level in levels + [0]:
             if level > 0:
-                start = (order - 1) - level
-                ch1, ch2 = ctxs[start]
-                # number of valid context words must be >= level
-                n_valid = jnp.sum((context >= 0).astype(jnp.int32))
-                level_ok = n_valid >= level
+                ch1, ch2 = ctxs[(order - 1) - level]
             else:
                 ch1 = jnp.uint32(0x811C9DC5)
                 ch2 = jnp.uint32(0x01000193)
-                level_ok = jnp.bool_(True)
-            gh1, gh2 = hash_extend_jnp(ch1, ch2, words)       # (H,)
-            v, _, found = _lookup(self.tables[level], gh1, gh2, self.unk_logp)
+            g1, g2 = hash_extend_jnp(ch1, ch2, words)         # (H,)
+            gk1.append(g1)
+            gk2.append(g2)
+        vg, _, fg = _lookup(
+            self.table, jnp.stack(gk1), jnp.stack(gk2), self.unk_logp
+        )                                                     # (order, H)
+        if order > 1:
+            ck1 = jnp.stack([ctxs[(order - 1) - l][0] for l in levels])
+            ck2 = jnp.stack([ctxs[(order - 1) - l][1] for l in levels])
+            _, bows, fcs = _lookup(self.table, ck1, ck2, 0.0)  # (order-1,)
+
+        # longest-match with accumulated backoff, unrolled over orders
+        result = jnp.full((H,), self.unk_logp, jnp.float32)
+        resolved = jnp.zeros((H,), bool)
+        bo_acc = jnp.zeros((H,), jnp.float32)
+        n_valid = jnp.sum((context >= 0).astype(jnp.int32))
+        for i, level in enumerate(levels + [0]):
+            level_ok = (n_valid >= level) if level > 0 else jnp.bool_(True)
+            v, found = vg[i], fg[i]
             # NO_PROB (-99 log10) entries exist only as backoff contexts
             hit = found & (v > -200.0) & level_ok & ~resolved
             result = jnp.where(hit, bo_acc + v, result)
             resolved = resolved | hit
             if level > 0:
-                # this context's backoff weight: ONE probe, broadcast over H
-                _, bow, ctx_found = _lookup(self.tables[level - 1], ch1, ch2, 0.0)
-                add = jnp.where(ctx_found & level_ok & ~resolved, bow, 0.0)
+                # this context's backoff weight, broadcast over H
+                add = jnp.where(fcs[i] & level_ok & ~resolved, bows[i], 0.0)
                 bo_acc = bo_acc + add
         return jnp.where(resolved, result, bo_acc + self.unk_logp)
 
