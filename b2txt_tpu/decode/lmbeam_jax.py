@@ -630,7 +630,10 @@ class DeviceLexiconBeamSearch:
                 )
                 syms = jnp.where(active[:, None], syms, -1)
                 words = jnp.where(active[:, None], words, -1)
-                return state, (parents, syms, words)
+                # int16 backpointers: halves the per-utterance record fetch
+                # through the (slow) host link; K is bounded well below 2^15
+                return state, (parents.astype(jnp.int16),
+                               syms.astype(jnp.int16), words)
 
             ts = jnp.arange(T, dtype=jnp.int32)
             state, recs = jax.lax.scan(
@@ -687,7 +690,9 @@ class DeviceLexiconBeamSearch:
             np.asarray(x)
             for x in self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
         )
-        parents, syms, words = (np.asarray(r) for r in recs)  # (T, B, K)
+        # syms are not needed for batched n-best extraction — don't fetch them
+        parents = np.asarray(recs[0]).astype(np.int64)        # (T, B, K)
+        words = np.asarray(recs[2])
         traces = _backtrace_all(parents, words)               # (T, B, K)
 
         n_out = nbest or cfg.nbest

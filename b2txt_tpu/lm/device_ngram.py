@@ -209,10 +209,11 @@ class DeviceNGram:
     def from_arpa_streaming(
         cls, path: str, lexicon: Lexicon, max_order: Optional[int] = None
     ) -> "DeviceNGram":
-        """Build directly from an ARPA file without materializing Python dict
-        tables — the large-model path (a 5-gram with hundreds of millions of
-        n-grams packs at 16 bytes/entry into HBM, vs the reference's ~300 GB
-        host-RAM SRILM representation, README.md:101)."""
+        """Build directly from an ARPA file — the large-model path. Packed
+        slots are 16 bytes at a ≤0.5 load factor (32-64 B per n-gram in HBM;
+        a 100M-entry 5-gram ≈ 3-6 GB), vs the reference's ~300 GB host-RAM
+        SRILM representation (README.md:101). For host-side decoding at that
+        scale use the C++ runtime's 16 B/entry sorted tables instead."""
         import gzip
         import math as _math
 

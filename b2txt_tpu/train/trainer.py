@@ -190,6 +190,7 @@ class Trainer:
                 patch_size=cfg.model.patch_size,
                 patch_stride=cfg.model.patch_stride,
                 compute_dtype=self.compute_dtype,
+                use_pallas=cfg.use_pallas_gru,
             )
             log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             losses = ctc_loss(log_probs, labels, adjusted, lab_lens)
@@ -227,6 +228,7 @@ class Trainer:
                 patch_size=cfg.model.patch_size,
                 patch_stride=cfg.model.patch_stride,
                 compute_dtype=self.compute_dtype,
+                use_pallas=cfg.use_pallas_gru,
             )
             log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             losses = ctc_loss(log_probs, labels, adjusted, lab_lens)

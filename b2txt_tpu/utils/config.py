@@ -108,6 +108,9 @@ class TrainConfig:
     mode: str = "train"
     use_amp: bool = True  # bf16 compute policy
     use_fused_preprocess: bool = False  # Pallas augment+smooth kernel (TPU)
+    # Pallas VMEM-resident GRU recurrence (fwd + custom-VJP bwd). None = auto:
+    # on for real TPU, off for the CPU test backend.
+    use_pallas_gru: Optional[bool] = None
 
     output_dir: str = "trained_models/baseline_rnn"
     checkpoint_dir: str = "trained_models/baseline_rnn/checkpoint"
