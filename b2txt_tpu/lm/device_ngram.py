@@ -88,6 +88,10 @@ class HashTable:
                           np.float32(v), np.float32(b)))
 
         n = max(len(items), 1)
+        # 0.5 load factor. Measured on the v5e: LOWERING load to 0.25 (smaller
+        # probe windows, 2× slots) made the fused-search probes ~1.5× SLOWER —
+        # table footprint beats window width for TPU gather cost. Don't
+        # "optimize" this without re-measuring.
         size = 1
         while size < 2 * n:
             size *= 2

@@ -34,7 +34,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def build_world(vocab_size: int, order: int, seed: int = 0):
     import tempfile
 
-    from b2txt_tpu.lm import Lexicon, train_ngram
+    from b2txt_tpu.lm import Lexicon
+    from b2txt_tpu.lm.ngram import NGramLM
+    from b2txt_tpu.runtime import train_ngram_native
     from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
 
     rng = np.random.default_rng(seed)
@@ -46,16 +48,20 @@ def build_world(vocab_size: int, order: int, seed: int = 0):
         words["w" + "".join(p.lower() for p in pron)] = pron
     lex = Lexicon.from_words(words)
     wl = list(words.keys())
-    n_sents = max(3000, vocab_size // 10)
-    corpus = [[wl[i] for i in rng.integers(0, vocab_size, rng.integers(3, 10))]
-              for _ in range(n_sents)]
-    perm = rng.permutation(vocab_size)  # every word LM-covered
-    corpus += [[wl[j] for j in perm[i : i + 6]]
-               for i in range(0, vocab_size, 6)]
-    lm = train_ngram(corpus, order=order)
     tmp = tempfile.mkdtemp()
+    corpus_path = os.path.join(tmp, "corpus.txt")
+    n_sents = max(3000, vocab_size // 10)
+    with open(corpus_path, "w") as f:
+        for _ in range(n_sents):
+            f.write(" ".join(
+                wl[i] for i in rng.integers(0, vocab_size, rng.integers(3, 10))
+            ) + "\n")
+        perm = rng.permutation(vocab_size)  # every word LM-covered
+        for i in range(0, vocab_size, 6):
+            f.write(" ".join(wl[j] for j in perm[i : i + 6]) + "\n")
     arpa = os.path.join(tmp, "lm.arpa")
-    lm.to_arpa(arpa)
+    train_ngram_native(corpus_path, arpa, order=order)
+    lm = NGramLM.from_arpa(arpa)
     lexp = os.path.join(tmp, "lexicon.txt")
     with open(lexp, "w") as f:
         for w, p in words.items():
@@ -86,6 +92,8 @@ def main() -> None:
     p.add_argument("--skip", type=float, default=0.98)
     p.add_argument("--blank_penalty", type=float, default=9.0)
     p.add_argument("--nbest", type=int, default=20)
+    p.add_argument("--viterbi", action="store_true",
+                   help="Kaldi-style max path merge (sum_mode=False)")
     p.add_argument("--skip_native", action="store_true")
     p.add_argument("--skip_device", action="store_true")
     args = p.parse_args()
@@ -103,11 +111,13 @@ def main() -> None:
         acoustic_scale=0.325, blank_penalty=args.blank_penalty,
         ctc_blank_skip_threshold=args.skip, nbest=args.nbest,
         beam_width=args.beam_width, beam=17.0,
-        first_beam_size=args.first_beam,
+        first_beam_size=args.first_beam, sum_mode=not args.viterbi,
     )
     out = {"vocab": args.vocab, "order": args.order, "batch": args.batch,
            "utts": args.utts, "beam_width": args.beam_width,
            "first_beam": args.first_beam, "skip": args.skip,
+           "merge": "viterbi" if args.viterbi else "logsum",
+           "blank_penalty": args.blank_penalty,
            "mean_frames": round(float(mean_T), 1),
            "backend": jax.default_backend()}
 
