@@ -185,15 +185,28 @@ def lm_stage_rate():
         dec = NativeLexiconBeamSearch(arpa, lexp, cfg, rescore_arpa=arpa_unpruned)
         load_s = time.perf_counter() - t0
         correct = 0
+        search_errors = 0  # miss where the TRUTH out-scores the output —
+        # a real search failure, vs a model-optimal miss (the synthetic
+        # noise occasionally makes a wrong parse score better on both
+        # acoustics and LM; no decoder can return the truth then)
         t0 = time.perf_counter()
         for sent, lp in utts:
             dec.reset()
             dec.decode(lp)
             r = dec.finish_decoding()
-            correct += bool(r) and r[0].sentence == sent
+            if r and r[0].sentence == sent:
+                correct += 1
+            elif r:
+                truth = [c for c in r if c.sentence == sent]
+                if truth and (
+                    cfg.acoustic_scale * truth[0].ac_score + truth[0].lm_score
+                    > cfg.acoustic_scale * r[0].ac_score + r[0].lm_score
+                ):
+                    search_errors += 1
         dt_s = time.perf_counter() - t0
         return n_utts / dt_s, {
             "decode_exact": f"{correct}/{n_utts}",
+            "search_errors": search_errors,
             "build_s": round(build_s, 1), "lm_load_s": round(load_s, 2),
         }
 
