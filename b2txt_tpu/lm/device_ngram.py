@@ -141,9 +141,13 @@ class HashTable:
         return cls(packed, max_probe)
 
     def as_device(self):
-        # max_probe rides along as a static int: lookups gather exactly the
-        # longest real probe chain instead of a worst-case constant.
-        return jnp.asarray(self.packed), int(self.max_probe)
+        # The probe window is fixed at MAX_PROBES rows so the gathered block
+        # is (8, 4) int32 = one aligned 32-lane tile; sub-8 windows produced
+        # misaligned gathers that measured SLOWER despite fewer bytes. Wrapped
+        # slots past a short chain are masked by key equality, so a full
+        # window is always safe.
+        P = min(MAX_PROBES, self.packed.shape[0])
+        return jnp.asarray(self.packed), int(P)
 
 
 def _lookup(table, h1, h2, not_found: float):
