@@ -13,3 +13,10 @@ from .plots import (
     plot_logit_raster,
     plot_wpm_by_day,
 )
+from .notebook_data import (
+    copy_task_error_rates,
+    export_copy_task_pickle,
+    personal_use_summary,
+    render_figure_2,
+    render_figure_4,
+)

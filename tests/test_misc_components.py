@@ -1,6 +1,8 @@
 """Smaller parity components: number-to-words, letter lexicon, profiling,
 batched device decode, analysis stats."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -146,3 +148,70 @@ def test_figure_rendering(tmp_path):
     plot_wpm_by_day({"d1": 30.5, "d2": 42.0}, path=str(paths["wpm"]))
     for name, p in paths.items():
         assert p.exists() and p.stat().st_size > 5000, name
+
+
+def test_notebook_pickle_formats(tmp_path):
+    """analysis.notebook_data consumes the reference's t15_copyTask /
+    t15_personalUse pickle schemas (figure_2.ipynb cell 3-8, figure_4.ipynb
+    cell 3-8) and renders every panel; harness trials export back into the
+    copy-task schema."""
+    import numpy as np
+
+    from b2txt_tpu.analysis.notebook_data import (
+        copy_task_error_rates,
+        export_copy_task_pickle,
+        load_pickle,
+        personal_use_summary,
+        render_figure_2,
+        render_figure_4,
+    )
+    from b2txt_tpu.evaluate.harness import TrialEval
+
+    rng = np.random.default_rng(0)
+    # t15_copyTask schema
+    dat = {
+        "post_implant_day": [100, 100, 150, 150],
+        "vocab_size": [50, 125000, 50, 125000],
+        "cue_sentence": ["the cat", "the mat", "a hat", "the cat"],
+        "cue_sentence_phonemes": [["DH", "AH", "SIL", "K", "AE", "T", "SIL"]] * 4,
+        "decoded_phonemes_raw": [["DH", "AH", "SIL", "K", "AE", "T", "SIL"]] * 3
+        + [["DH", "AH", "SIL", "M", "AE", "T", "SIL"]],
+        "decoded_sentence": ["the cat", "the mat", "a hat", "the mat"],
+        "decoded_logits": [rng.standard_normal((60, 41)).astype(np.float32)
+                           for _ in range(4)],
+    }
+    rates = copy_task_error_rates(dat, "WER", n_resamples=200)
+    assert set(rates) == {50, 125000}
+    paths = render_figure_2(dat, str(tmp_path / "f2"), n_resamples=200)
+    assert all(os.path.getsize(p) > 5000 for p in paths)
+
+    # t15_personalUse schema
+    dat4 = {
+        "trialized_info": {
+            "correctness_rating": ["correct", "correct", "mostly correct",
+                                   "incorrect", "one word wrong", "correct"],
+            "post_implant_day": [100, 100, 100, 150, 150, 150],
+        },
+        "total_use_time": 10.0,
+        "total_trial_count": 6,
+    }
+    s = personal_use_summary(dat4)
+    assert s["counts"]["correct"] == 3 and s["n_trials_by_day"] == [3, 3]
+    paths = render_figure_4(dat4, str(tmp_path / "f4"))
+    assert all(os.path.getsize(p) > 5000 for p in paths)
+
+    # harness trials -> copy-task pickle round trip
+    trials = [
+        TrialEval(session="s", day_idx=0, block_num=1, trial_num=i,
+                  logits=rng.standard_normal((40, 41)).astype(np.float32),
+                  decoded_ids=[10, 3, 40], true_ids=[10, 3, 40],
+                  sentence_label="the", decoded_sentence="the")
+        for i in range(3)
+    ]
+    pkl = str(tmp_path / "copy.pkl")
+    exported = export_copy_task_pickle(trials, pkl, vocab_size=50)
+    loaded = load_pickle(pkl)
+    assert loaded["cue_sentence"] == ["the"] * 3
+    assert loaded["decoded_logits"][0].shape == (40, 41)
+    r2 = copy_task_error_rates(loaded, "PER", n_resamples=100)
+    assert r2[50]["0"][0] == 0.0  # exact decode -> zero PER
