@@ -191,7 +191,10 @@ def forward(
     n_layers = len(params["layers"])
     H = params["h0"].shape[-1]
     if use_pallas is None:
-        use_pallas = default_use_pallas()
+        # Auto mode: kernel on real TPU for batched work. Tiny batches stay
+        # on the XLA scan — Mosaic cannot slice the kernel's (2, B, 3H) bf16
+        # double buffer when B is below a sublane tile (streaming runs B=1).
+        use_pallas = default_use_pallas() and B >= 16
 
     if not skip_day_layer:
         # Day-specific affine + softsign (rnn_model.py:94-99).
