@@ -37,7 +37,7 @@ import numpy as np
 
 from ..lm.device_ngram import DeviceNGram, hash_extend_jnp
 from ..lm.lexicon import Lexicon
-from ..lm.ngram import BOS, EOS, NGramLM
+from ..lm.ngram import BOS, NGramLM
 from ..utils.config import DecodeConfig
 from ..utils.phonemes import BLANK_ID, SIL_ID_MODEL
 from .lmbeam import DecodeResult
@@ -136,7 +136,6 @@ def compact_blank_skip(
     blank_row = np.full((C,), -30.0, np.float32)
     blank_row[blank] = 0.0
 
-    rows_out: List[np.ndarray] = []
     lens_out = np.zeros((B,), np.int32)
     per_utt: List[np.ndarray] = []
     for b in range(B):
@@ -161,20 +160,6 @@ def compact_blank_skip(
     for b in range(B):
         out[b, : lens_out[b]] = per_utt[b]
     return out, lens_out
-
-
-def _backtrace_batch(
-    parents: np.ndarray, syms: np.ndarray, words: np.ndarray, beam: int
-) -> List[int]:
-    """Word backtrace over (T, K) record arrays for one utterance."""
-    ws: List[int] = []
-    k = beam
-    for t in range(parents.shape[0] - 1, -1, -1):
-        if words[t, k] >= 0:
-            ws.append(int(words[t, k]))
-        k = int(parents[t, k])
-    ws.reverse()
-    return ws
 
 
 def _backtrace_all(parents: np.ndarray, words: np.ndarray) -> np.ndarray:

@@ -1,11 +1,10 @@
 """Device-resident n-gram model: open-addressing hash tables in HBM.
 
-The TPU replacement for Kaldi's G.fst arcs: every (context, word) probability
-and every context backoff weight is packed into flat uint32-key/float32-value
-probing tables, so the fused beam search scores thousands of candidate words
-per frame with pure gathers — no host callback, no FST walk. The same backoff
-recursion as NGramLM.logp runs as a fixed unrolled sequence of table lookups
-(order−1 backoff levels), vectorized over candidates via vmap.
+The TPU replacement for Kaldi's G.fst arcs: every n-gram of every order lives
+in ONE packed probing table in HBM, so the fused beam search scores thousands
+of candidate words per frame with exactly two gathers — no host callback, no
+FST walk. The same backoff recursion as NGramLM.logp resolves from the
+stacked probe results as a fixed unrolled select chain.
 
 Keys are 64 bits (two uint32 lanes) derived from word-id sequences by the same
 xorshift-avalanche mix used for beam-prefix identity; empty slots carry key 0.
@@ -22,7 +21,6 @@ import numpy as np
 
 from .lexicon import Lexicon
 from .ngram import BOS, EOS, NGramLM, UNK
-from ..utils.config import DecodeConfig
 
 MAX_PROBES = 8  # Robin-Hood bound: tables grow until every chain fits
 
@@ -223,7 +221,6 @@ class DeviceNGram:
         SRILM representation (README.md:101). For host-side decoding at that
         scale use the C++ runtime's 16 B/entry sorted tables instead."""
         import gzip
-        import math as _math
 
         from .arpa import LOG10
 
