@@ -258,10 +258,13 @@ class DecoderService:
                 self.decode_chunk(logits[i : i + chunk])
         return self.finalize()
 
-    def decode_utterances(self, logits_list: Sequence[np.ndarray]) -> List[FinalOutput]:
-        """Decode many utterances. With the device backend the whole set runs
-        through the batched TPU scan (DeviceLexiconBeamSearch.decode_batch);
-        other backends decode serially."""
+    def decode_utterances(
+        self, logits_list: Sequence[np.ndarray], batch_size: int = 32
+    ) -> List[FinalOutput]:
+        """Decode many utterances. With the device backend the set runs
+        through the batched TPU scan (DeviceLexiconBeamSearch.decode_batch) in
+        fixed-size batches (stable compiled shapes — the scan is
+        batch-invariant in throughput); other backends decode serially."""
         searcher = self.searcher
         if self.searcher_backend != "device" or not hasattr(searcher, "decode_batch"):
             return [self.decode_utterance(l) for l in logits_list]
@@ -273,11 +276,18 @@ class DecoderService:
                 logits = lm_order_to_model_order(logits)
             x = logits - logits.max(axis=-1, keepdims=True)
             prepped.append(x - np.log(np.exp(x).sum(-1, keepdims=True)))
-        T = max(p.shape[0] for p in prepped)
-        lp = np.full((len(prepped), T, 41), -30.0, np.float32)
-        lengths = np.zeros(len(prepped), np.int32)
-        for i, p in enumerate(prepped):
-            lp[i, : p.shape[0]] = p
-            lengths[i] = p.shape[0]
-        nbest_lists = searcher.decode_batch(lp, lengths)
-        return [self._finalize_results(results) for results in nbest_lists]
+
+        outs: List[FinalOutput] = []
+        for start in range(0, len(prepped), batch_size):
+            chunk = prepped[start : start + batch_size]
+            n = len(chunk)
+            B = batch_size if len(prepped) > batch_size else n
+            T = max(p.shape[0] for p in chunk)
+            lp = np.full((B, T, 41), -30.0, np.float32)
+            lengths = np.zeros(B, np.int32)
+            for i, p in enumerate(chunk):
+                lp[i, : p.shape[0]] = p
+                lengths[i] = p.shape[0]
+            nbest_lists = searcher.decode_batch(lp, lengths)
+            outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
+        return outs
