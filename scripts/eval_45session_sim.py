@@ -27,6 +27,9 @@ def main() -> None:
     p.add_argument("--sessions", type=int, default=45)
     p.add_argument("--trials-per-session", type=int, default=32)
     p.add_argument("--neural-dim", type=int, default=512)
+    p.add_argument("--searcher", default="native",
+                   choices=["native", "device", "python"],
+                   help="LM beam-search backend for stage 2")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -81,10 +84,10 @@ def main() -> None:
                         beam_width=128)
     decoder = DecoderService(
         lexicon, lm, dcfg, channel_order="model",
-        searcher_backend="native", arpa_path=arpa, lexicon_path=lexp,
+        searcher_backend=args.searcher, arpa_path=arpa, lexicon_path=lexp,
     )
 
-    print("Stage 1+2: batched RNN inference + native LM decode...")
+    print(f"Stage 1+2: batched RNN inference + {args.searcher} LM decode...")
     t0 = time.time()
     res = evaluate_sessions(
         params, cfg, out, eval_type="val", decoder=decoder,
