@@ -135,3 +135,36 @@ def test_empty_final(lexicon, lm):
     final = svc.finalize()
     assert final.sentence == ""
     assert final.nbest == []
+
+
+def test_decode_utterances_chunked_device_backend():
+    """Chunked batched decode (fixed compiled shapes, padded last chunk)
+    returns per-utterance results in order."""
+    import numpy as np
+
+    from b2txt_tpu.lm import Lexicon, train_ngram
+    from b2txt_tpu.serve.service import DecoderService
+    from b2txt_tpu.utils.config import DecodeConfig
+
+    LEX = {"the": ["DH", "AH"], "cat": ["K", "AE", "T"],
+           "sat": ["S", "AE", "T"], "mat": ["M", "AE", "T"]}
+    lexicon = Lexicon.from_words(LEX)
+    lm = train_ngram(["the cat sat".split(), "the mat".split()] * 4, order=2)
+    svc = DecoderService(
+        lexicon, lm,
+        DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=5,
+                     beam_width=32, beam=0.0),
+        channel_order="model", searcher_backend="device",
+    )
+
+    def logits(sent, hot=6.0):
+        rows = []
+        for pid in lexicon.sentence_to_phonemes(sent):
+            for _ in range(2):
+                r = np.full(41, -hot, np.float32); r[pid] = 0.0; rows.append(r)
+            b = np.full(41, -hot, np.float32); b[0] = 0.0; rows.append(b)
+        return np.stack(rows)
+
+    sents = ["the cat sat", "the mat", "the cat sat", "the mat", "the mat"]
+    outs = svc.decode_utterances([logits(s) for s in sents], batch_size=2)
+    assert [o.sentence for o in outs] == sents
