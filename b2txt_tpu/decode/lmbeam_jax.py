@@ -72,6 +72,25 @@ def _seg_max(values, starts):
     return out
 
 
+def _seg_merge4(values, starts, sum_mode: bool):
+    """ONE segmented scan merging all four score columns: [s, ns] with
+    log-sum-exp (sum_mode) or max (Viterbi), [ac_s, ac_ns] always with max.
+    Fusing the two scans halves the associative-scan cost of the frame step
+    (measured ~0.49 ms each at (32, 1344) on the v5e)."""
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        rank = (_logaddexp(va[..., :2], vb[..., :2]) if sum_mode
+                else jnp.maximum(va[..., :2], vb[..., :2]))
+        ac = jnp.maximum(va[..., 2:], vb[..., 2:])
+        merged = jnp.concatenate([rank, ac], axis=-1)
+        return jnp.where(fb[..., None], vb, merged), fa | fb
+
+    out, _ = jax.lax.associative_scan(op, (values, starts))
+    return out
+
+
 class LmBeamState(NamedTuple):
     h1: jax.Array     # (K,) uint32 word-history hash (chained over closed words)
     h2: jax.Array     # (K,)
@@ -87,23 +106,54 @@ class LmBeamState(NamedTuple):
 
 @dataclass
 class TrieArrays:
+    """Gather-optimized trie: besides the plain next/words_at arrays (used by
+    finalize), the hot frame step reads exactly TWO packed rows per beam —
+    measured on the v5e, XLA charges ~30 ns per gathered ROW regardless of
+    row width, so per-node packing beats per-field element gathers ~10×:
+
+      node_pack[node] = [wids(H) | uni_logp_bits(H) | la_bits]   (2H+1 int32)
+      next_pack[node] = [child(V) | la_child_bits(V)]            (2V int32)
+    """
+
     next: jax.Array       # (n_nodes, V) int32
     words_at: jax.Array   # (n_nodes, H) int32, -1 padded
+    node_pack: jax.Array  # (n_nodes, 2H+1) int32
+    next_pack: jax.Array  # (n_nodes, 2V) int32
     n_dropped: int
 
     @classmethod
-    def build(cls, lexicon: Lexicon, max_homophones: int) -> "TrieArrays":
+    def build(
+        cls,
+        lexicon: Lexicon,
+        max_homophones: int,
+        la: np.ndarray,
+        uni_logp: np.ndarray,
+    ) -> "TrieArrays":
         n_nodes = lexicon.n_nodes
-        words_at = np.full((n_nodes, max_homophones), -1, np.int32)
+        H = max_homophones
+        words_at = np.full((n_nodes, H), -1, np.int32)
         dropped = 0
         for node in range(n_nodes):
             ws = lexicon.node_words(node)
-            for j, w in enumerate(ws[:max_homophones]):
+            for j, w in enumerate(ws[:H]):
                 words_at[node, j] = w
-            dropped += max(0, len(ws) - max_homophones)
+            dropped += max(0, len(ws) - H)
+
+        la32 = np.asarray(la, np.float32)
+        uni_w = uni_logp[np.clip(words_at, 0, None)].astype(np.float32)
+        node_pack = np.concatenate(
+            [words_at, uni_w.view(np.int32), la32.view(np.int32)[:, None]],
+            axis=1,
+        ).astype(np.int32)
+        la_child = la32[np.clip(lexicon.next, 0, None)]
+        next_pack = np.concatenate(
+            [lexicon.next, la_child.view(np.int32)], axis=1
+        ).astype(np.int32)
         return cls(
             next=jnp.asarray(lexicon.next),
             words_at=jnp.asarray(words_at),
+            node_pack=jnp.asarray(node_pack),
+            next_pack=jnp.asarray(next_pack),
             n_dropped=dropped,
         )
 
@@ -197,12 +247,14 @@ class DeviceLexiconBeamSearch:
         self.blank = blank
         self.sil = sil
         self.H = max_homophones
-        self.trie = TrieArrays.build(lexicon, max_homophones)
         self.dev_lm = DeviceNGram.build(lm, lexicon)
         # LM lookahead smearing over the trie (see lmbeam.py) — ranking only,
         # cancels at word close.
-        self.la = jnp.asarray(
-            lexicon.lookahead_scores(lambda w: lm.logp([], w))
+        la_np = lexicon.lookahead_scores(lambda w: lm.logp([], w))
+        self.la = jnp.asarray(la_np)
+        self.la0 = float(la_np[0])
+        self.trie = TrieArrays.build(
+            lexicon, max_homophones, la_np, np.asarray(self.dev_lm.uni_logp)
         )
         self.order = self.dev_lm.order
         self._scan = self._build_scan()
@@ -285,6 +337,21 @@ class DeviceLexiconBeamSearch:
             word=full(-1, (K,)).astype(jnp.int32),
         )
 
+        # ---- packed per-node rows: ONE gather each for the close-branch data
+        # (homophone word ids + their dense unigram log-probs + node
+        # lookahead) and for the extension data (children + child lookahead).
+        # Measured on the v5e: XLA charges ~30 ns per gathered ROW regardless
+        # of width, so these two row gathers replace ~5 element/window
+        # gathers per beam (see DESIGN.md round-3 notes).
+        H2 = 2 * H
+        nrow = self.trie.node_pack[state.node]                # (K, 2H+1)
+        wids = nrow[:, :H]                                    # (K, H)
+        uni_w = jax.lax.bitcast_convert_type(nrow[:, H:H2], jnp.float32)
+        la_node = jax.lax.bitcast_convert_type(nrow[:, H2], jnp.float32)
+        xrow = self.trie.next_pack[state.node]                # (K, 2V)
+        child_all = xrow[:, :V]
+        la_all = jax.lax.bitcast_convert_type(xrow[:, V:], jnp.float32)
+
         # ---- 2. extend with phone c (non-blank, non-SIL)
         if first_beam is not None and first_beam < V - 2:
             # restrict extensions to this frame's top phones (blank/SIL are
@@ -294,11 +361,14 @@ class DeviceLexiconBeamSearch:
             FB = first_beam
             c = jnp.broadcast_to(c_fb[None, :], (K, FB)).astype(jnp.int32)
             lp_ext = jnp.broadcast_to(lp_fb[None, :], (K, FB))
+            child = jnp.take_along_axis(child_all, c, axis=1)  # (K, FB)
+            la_child = jnp.take_along_axis(la_all, c, axis=1)
         else:
             FB = V
             c = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (K, V))
             lp_ext = jnp.broadcast_to(lp[None, :], (K, V))
-        child = self.trie.next[state.node[:, None], c]        # (K, FB)
+            child = child_all
+            la_child = la_all
         is_rep = c == state.last[:, None]
         base = jnp.where(is_rep, state.s[:, None], score[:, None])
         ac_base = jnp.where(is_rep, state.ac_s[:, None], ac[:, None])
@@ -306,8 +376,7 @@ class DeviceLexiconBeamSearch:
         ek1, ek2 = sort_keys(
             state.h1[:, None], state.h2[:, None], jnp.maximum(child, 0), c
         )
-        la_node = self.la[state.node]                 # (K,)
-        la_delta = self.la[jnp.maximum(child, 0)] - la_node[:, None]
+        la_delta = la_child - la_node[:, None]
         ext = dict(
             k1=ek1, k2=ek2,
             h1=jnp.broadcast_to(state.h1[:, None], (K, FB)),
@@ -345,12 +414,12 @@ class DeviceLexiconBeamSearch:
         )
 
         # ---- 4. close word(s): SIL at word-final node, n-gram scored
-        wids = self.trie.words_at[state.node]         # (K, H)
-        w_ok = wids >= 0
+        w_ok = wids >= 0                              # (K, H) from node_pack
         # one logp_words call per beam: context hashing + backoff probes run
-        # once per K, gram probes per (K, H)
+        # once per K, gram probes per (K, H); level-0 unigram log-probs come
+        # precomputed from node_pack (zero extra gathers)
         wlp = jax.vmap(self.dev_lm.logp_words)(
-            state.ctx, jnp.maximum(wids, 0)
+            state.ctx, jnp.maximum(wids, 0), uni_w
         )                                             # (K, H)
         wlp = wlp + length_penalty
         new_ctx = jnp.concatenate(
@@ -366,7 +435,7 @@ class DeviceLexiconBeamSearch:
         ck1, ck2 = sort_keys(
             wh1, wh2, jnp.zeros((K, H), jnp.int32), jnp.int32(sil)
         )
-        la_close = self.la[0] - la_node[:, None]      # (K, 1) broadcast
+        la_close = self.la0 - la_node[:, None]        # (K, 1) broadcast
         close = dict(
             k1=ck1, k2=ck2,
             h1=wh1, h2=wh2, node=jnp.zeros((K, H), jnp.int32),
@@ -436,12 +505,9 @@ class DeviceLexiconBeamSearch:
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
         )
-        starts2 = jnp.broadcast_to(starts[:, None], (N, 2))
-        rank_pair = jnp.stack([ss, nss], axis=-1)          # (N, 2)
-        ac_pair = jnp.stack([acss, acnss], axis=-1)
-        merged = (_seg_scan(rank_pair, starts2) if sum_mode
-                  else _seg_max(rank_pair, starts2))
-        ac_merged = _seg_max(ac_pair, starts2)
+        all4 = jnp.stack([ss, nss, acss, acnss], axis=-1)  # (N, 4)
+        merged4 = _seg_merge4(all4, starts, sum_mode)
+        merged, ac_merged = merged4[:, :2], merged4[:, 2:]
         seg_end = jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
         combined = (_logaddexp(merged[:, 0], merged[:, 1]) if sum_mode
                     else jnp.maximum(merged[:, 0], merged[:, 1]))

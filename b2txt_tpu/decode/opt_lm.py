@@ -1,0 +1,297 @@
+"""OPT-architecture causal LM in JAX: HF weight import + TP sharding specs.
+
+The reference loads facebook/opt-6.7b fp16 through HF transformers on a
+second GPU and rescores n-best hypotheses with token-logprob sums
+(language-model-standalone.py:92-161). This module is the TPU-native
+equivalent: the exact OPT decoder architecture as a pure-JAX forward —
+
+  * learned positional embeddings with the OPT offset of 2, indexed by the
+    attention-mask cumsum (so padding never advances the position counter),
+  * pre-LN blocks (do_layer_norm_before=True, the 6.7b configuration) with
+    ReLU MLPs and per-layer `final_layer_norm` between attention and MLP,
+  * decoder-level final layer norm and an lm_head tied to embed_tokens —
+
+plus `params_from_hf` (HF state_dict → pytree, transposing torch's (out, in)
+Linear layout), `partition_specs` (tensor parallelism: attention heads and
+the FFN hidden dimension shard over "model"; embeddings replicate — at 6.7b
+scale shard the vocab too and psum the logits if HBM-bound), and
+`OPTRescorer` implementing the LLMScorer protocol. Architecture parity vs
+`transformers.OPTForCausalLM` is tested on a tiny random config
+(tests/test_opt_lm.py); the 6.7b TP specs are compile-tested on the virtual
+8-device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+POS_OFFSET = 2  # OPT's learned-position offset (OPTLearnedPositionalEmbedding)
+
+
+@dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 4096
+    ffn_dim: int = 16384
+    num_layers: int = 32
+    num_heads: int = 32
+    max_position_embeddings: int = 2048
+
+    @classmethod
+    def opt_6_7b(cls) -> "OPTConfig":
+        return cls()  # defaults are the 6.7b shapes (README.md:101, ~13 GB fp16)
+
+    @classmethod
+    def tiny(cls, vocab: int = 97) -> "OPTConfig":
+        return cls(vocab_size=vocab, hidden_size=32, ffn_dim=64,
+                   num_layers=2, num_heads=4, max_position_embeddings=64)
+
+
+def init_params(key: jax.Array, cfg: OPTConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 2 + 6 * cfg.num_layers)
+    D, F = cfg.hidden_size, cfg.ffn_dim
+    s = 0.02
+
+    def norm():
+        return {"g": jnp.ones(D, dtype), "b": jnp.zeros(D, dtype)}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        k = jax.random.split(ks[2 + i], 6)
+        layers.append({
+            "ln_attn": norm(),
+            "q_w": s * jax.random.normal(k[0], (D, D), dtype),
+            "q_b": jnp.zeros(D, dtype),
+            "k_w": s * jax.random.normal(k[1], (D, D), dtype),
+            "k_b": jnp.zeros(D, dtype),
+            "v_w": s * jax.random.normal(k[2], (D, D), dtype),
+            "v_b": jnp.zeros(D, dtype),
+            "o_w": s * jax.random.normal(k[3], (D, D), dtype),
+            "o_b": jnp.zeros(D, dtype),
+            "ln_mlp": norm(),
+            "fc1_w": s * jax.random.normal(k[4], (D, F), dtype),
+            "fc1_b": jnp.zeros(F, dtype),
+            "fc2_w": s * jax.random.normal(k[5], (F, D), dtype),
+            "fc2_b": jnp.zeros(D, dtype),
+        })
+    return {
+        "embed_tokens": s * jax.random.normal(ks[0], (cfg.vocab_size, D), dtype),
+        "embed_positions": s * jax.random.normal(
+            ks[1], (cfg.max_position_embeddings + POS_OFFSET, D), dtype
+        ),
+        "layers": layers,
+        "ln_f": {"g": jnp.ones(D, dtype), "b": jnp.zeros(D, dtype)},
+    }
+
+
+def _ln(x, p, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def forward(
+    params: Params,
+    tokens: jax.Array,            # (B, L) int32
+    attention_mask: jax.Array,    # (B, L) 1.0 = real token
+    cfg: OPTConfig,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Logits (B, L, vocab). Matches transformers.OPTForCausalLM with
+    do_layer_norm_before=True and tied lm_head (modeling parity tested)."""
+    B, L = tokens.shape
+    D = cfg.hidden_size
+    hd = D // cfg.num_heads
+    cast = lambda a: a.astype(compute_dtype)  # noqa: E731
+
+    emb = cast(params["embed_tokens"])
+    # OPT position ids: cumsum of the attention mask (padding holds position)
+    positions = (jnp.cumsum(attention_mask, axis=1) * attention_mask).astype(
+        jnp.int32
+    ) - 1
+    x = emb[tokens] + cast(params["embed_positions"])[
+        jnp.clip(positions, -1, cfg.max_position_embeddings - 1) + POS_OFFSET
+    ]
+
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    pad_ok = attention_mask[:, None, None, :] > 0.5        # (B,1,1,L)
+    mask = causal[None, None] & pad_ok
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, compute_dtype)
+
+    for blk in params["layers"]:
+        h = _ln(x, jax.tree_util.tree_map(cast, blk["ln_attn"]))
+        q = (h @ cast(blk["q_w"]) + cast(blk["q_b"])) * (hd ** -0.5)
+        k = h @ cast(blk["k_w"]) + cast(blk["k_b"])
+        v = h @ cast(blk["v_w"]) + cast(blk["v_b"])
+        q = q.reshape(B, L, cfg.num_heads, hd)
+        k = k.reshape(B, L, cfg.num_heads, hd)
+        v = v.reshape(B, L, cfg.num_heads, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=compute_dtype)
+        att = jnp.where(mask, att, neg)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(
+            compute_dtype
+        )
+        o = jnp.einsum("bhqk,bkhd->bqhd", att, v,
+                       preferred_element_type=compute_dtype).reshape(B, L, D)
+        x = x + o @ cast(blk["o_w"]) + cast(blk["o_b"])
+
+        h = _ln(x, jax.tree_util.tree_map(cast, blk["ln_mlp"]))
+        h = jax.nn.relu(h @ cast(blk["fc1_w"]) + cast(blk["fc1_b"]))
+        x = x + h @ cast(blk["fc2_w"]) + cast(blk["fc2_b"])
+
+    x = _ln(x, jax.tree_util.tree_map(cast, params["ln_f"]))
+    return (x @ emb.T).astype(jnp.float32)
+
+
+def params_from_hf(state_dict: Dict[str, Any], cfg: OPTConfig) -> Params:
+    """HF OPTForCausalLM state_dict → pytree. Accepts torch tensors or numpy
+    arrays; torch Linear weights are (out, in) and get transposed."""
+
+    def a(name):
+        t = state_dict[name]
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(t, np.float32))
+
+    def lin(prefix):
+        return a(prefix + ".weight").T, a(prefix + ".bias")
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.decoder.layers.{i}"
+        q_w, q_b = lin(p + ".self_attn.q_proj")
+        k_w, k_b = lin(p + ".self_attn.k_proj")
+        v_w, v_b = lin(p + ".self_attn.v_proj")
+        o_w, o_b = lin(p + ".self_attn.out_proj")
+        fc1_w, fc1_b = lin(p + ".fc1")
+        fc2_w, fc2_b = lin(p + ".fc2")
+        layers.append({
+            "ln_attn": {"g": a(p + ".self_attn_layer_norm.weight"),
+                        "b": a(p + ".self_attn_layer_norm.bias")},
+            "q_w": q_w, "q_b": q_b, "k_w": k_w, "k_b": k_b,
+            "v_w": v_w, "v_b": v_b, "o_w": o_w, "o_b": o_b,
+            "ln_mlp": {"g": a(p + ".final_layer_norm.weight"),
+                       "b": a(p + ".final_layer_norm.bias")},
+            "fc1_w": fc1_w, "fc1_b": fc1_b,
+            "fc2_w": fc2_w, "fc2_b": fc2_b,
+        })
+    return {
+        "embed_tokens": a("model.decoder.embed_tokens.weight"),
+        "embed_positions": a("model.decoder.embed_positions.weight"),
+        "layers": layers,
+        "ln_f": {"g": a("model.decoder.final_layer_norm.weight"),
+                 "b": a("model.decoder.final_layer_norm.bias")},
+    }
+
+
+def partition_specs(cfg: OPTConfig) -> Params:
+    """Tensor-parallel layout over a ("data", "model") mesh: attention
+    projections shard by head (columns of q/k/v, rows of out) and the FFN
+    hidden dim shards likewise — the all-reduce after out_proj/fc2 is XLA's
+    to insert. Embeddings and norms replicate."""
+    norm = {"g": P(), "b": P()}
+    layer = {
+        "ln_attn": dict(norm),
+        "q_w": P(None, "model"), "q_b": P("model"),
+        "k_w": P(None, "model"), "k_b": P("model"),
+        "v_w": P(None, "model"), "v_b": P("model"),
+        "o_w": P("model", None), "o_b": P(),
+        "ln_mlp": dict(norm),
+        "fc1_w": P(None, "model"), "fc1_b": P("model"),
+        "fc2_w": P("model", None), "fc2_b": P(),
+    }
+    return {
+        "embed_tokens": P(), "embed_positions": P(),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+        "ln_f": dict(norm),
+    }
+
+
+def score_tokens_fn(cfg: OPTConfig, compute_dtype=jnp.float32):
+    """Returns f(params, tokens, mask) → (sum log P(token), n_scored) per
+    row — the reference's rescore_with_gpt2 numerator (standalone :127-161)."""
+
+    def score(params, tokens, mask):
+        logits = forward(params, tokens, mask, cfg, compute_dtype)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(
+            lp[:, :-1], tokens[:, 1:, None], axis=2
+        )[..., 0]
+        tok_lp = tok_lp * mask[:, 1:]
+        return tok_lp.sum(axis=1), mask.sum(axis=1)
+
+    return score
+
+
+class OPTRescorer:
+    """LLMScorer over the OPT forward. score(texts) = Σ token log-probs −
+    length_penalty · n_tokens (parity: rescore_with_gpt2, standalone
+    :127-161). ``encode`` maps text → token ids (the reference uses the HF
+    GPT2-BPE tokenizer; any callable works — pass
+    ``lambda t, n: tokenizer(t)["input_ids"][:n]`` when tokenizer files are
+    available). Pass a Mesh for pjit TP/DP sharding."""
+
+    def __init__(
+        self,
+        cfg: OPTConfig,
+        params: Optional[Params] = None,
+        encode: Optional[Callable[[str, int], List[int]]] = None,
+        mesh: Optional[Mesh] = None,
+        max_len: int = 256,
+        compute_dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.max_len = min(max_len, cfg.max_position_embeddings)
+        self.encode = encode or (
+            lambda t, n: [b % cfg.vocab_size for b in t.encode("utf-8")][:n]
+        )
+        self.params = params if params is not None else init_params(
+            jax.random.PRNGKey(seed), cfg
+        )
+        score = score_tokens_fn(cfg, compute_dtype)
+        if mesh is not None:
+            specs = partition_specs(cfg)
+            shard = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            data = NamedSharding(mesh, P("data", None))
+            repl = NamedSharding(mesh, P("data"))
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self.params, shard
+            )
+            self._score = jax.jit(
+                score, in_shardings=(shard, data, data),
+                out_shardings=(repl, repl),
+            )
+            self._pad_to = mesh.shape["data"]
+        else:
+            self._score = jax.jit(score)
+            self._pad_to = 1
+
+    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+        n = len(texts)
+        ids = [self.encode(t, self.max_len) for t in texts]
+        L = max(32, max((len(i) for i in ids), default=1))
+        L = min(self.max_len, -(-L // 32) * 32)
+        B = -(-n // self._pad_to) * self._pad_to
+        tokens = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), np.float32)
+        for i, seq in enumerate(ids):
+            tokens[i, : len(seq)] = seq[:L]
+            mask[i, : len(seq)] = 1.0
+        sums, n_tok = self._score(self.params, jnp.asarray(tokens),
+                                  jnp.asarray(mask))
+        sums = np.asarray(sums)[:n]
+        n_tok = np.asarray(n_tok)[:n]
+        return (sums - n_tok * length_penalty).tolist()

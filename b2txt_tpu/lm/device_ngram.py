@@ -1,13 +1,29 @@
-"""Device-resident n-gram model: open-addressing hash tables in HBM.
+"""Device-resident n-gram model: bucketed hash table in HBM + dense unigrams.
 
-The TPU replacement for Kaldi's G.fst arcs: every n-gram of every order lives
-in ONE packed probing table in HBM, so the fused beam search scores thousands
-of candidate words per frame with exactly two gathers — no host callback, no
-FST walk. The same backoff recursion as NGramLM.logp resolves from the
-stacked probe results as a fixed unrolled select chain.
+The TPU replacement for Kaldi's G.fst arcs: every n-gram of order >= 2 lives
+in ONE bucketed probing table in HBM, so the fused beam search scores
+thousands of candidate words per frame with one aligned row-gather per
+(gram level, word) plus a dense unigram read — no host callback, no FST walk.
+The same backoff recursion as NGramLM.logp resolves from the stacked probe
+results as a fixed unrolled select chain.
 
-Keys are 64 bits (two uint32 lanes) derived from word-id sequences by the same
-xorshift-avalanche mix used for beam-prefix identity; empty slots carry key 0.
+Layout (round-3 redesign, driven by measured v5e gather costs — see
+docs/DESIGN.md): XLA TPU gathers cost ~30 ns per gathered ROW nearly
+independent of row width (4 B single element = 33 ns, 512 B row = 31 ns),
+while the round-2 Robin-Hood probe windows (8 rows of 16 B from an arbitrary
+start slot) cost 115 ns. So the table is now an array of BUCKETS: one flat
+256 B row of 16 slots per bucket, fetched with ONE row gather and resolved
+with vectorized key compares in VMEM. Buckets are sized so overflow is
+Poisson-negligible (mean 4 keys per 16-slot bucket); the table doubles in
+the rare case a bucket overflows.
+
+Unigrams move out of the hash table into dense arrays indexed by word id
+(logp, backoff) — a word's level-0 score is one element read, and the fused
+search precomputes it per trie node so the hot path pays nothing.
+
+Keys are 64 bits (two uint32 lanes) derived from word-id sequences by the
+same xorshift-avalanche mix used for beam-prefix identity; empty slots carry
+key 0.
 """
 
 from __future__ import annotations
@@ -22,7 +38,9 @@ import numpy as np
 from .lexicon import Lexicon
 from .ngram import BOS, EOS, NGramLM, UNK
 
-MAX_PROBES = 8  # Robin-Hood bound: tables grow until every chain fits
+BUCKET_CAP = 16      # slots per bucket: one (16, 4) int32 = 256 B row
+TARGET_MEAN = 4      # keys per bucket on average (load factor 0.25)
+MISSING = -1.0e9     # dense-unigram sentinel for "no entry"
 
 
 def _mix_np(h: np.ndarray, c: np.ndarray, seed: int) -> np.ndarray:
@@ -59,112 +77,102 @@ def hash_extend_jnp(h1: jax.Array, h2: jax.Array, wid: jax.Array):
 
 
 @dataclass
-class HashTable:
-    """Open-addressing table: (key1, key2) uint32 pair → (value, backoff).
+class BucketTable:
+    """Bucketed open hash table: (key1, key2) uint32 pair → (value, backoff).
 
-    Packed layout: one (size, 4) int32 matrix with columns [key1, key2,
-    value_bits, backoff_bits] so every probe is ONE gather instead of four —
-    the device beam search's per-frame cost is dominated by these probes
-    (measured: the LM-probe chain was 93% of the fused step before packing).
-    Robin-Hood insertion bounds the worst probe chain to MAX_PROBES (the
-    table grows until the bound holds), so lookups always gather a fixed,
-    small window. int32 storage avoids any float-NaN canonicalization of key
-    bit patterns in transfers.
+    Packed layout: (n_buckets, BUCKET_CAP * 4) int32 rows with slot-major
+    columns [key1, key2, value_bits, backoff_bits] × BUCKET_CAP, so every
+    probe is ONE aligned contiguous row gather (the device beam search's
+    per-frame cost is dominated by gathered-row COUNT — measured ~30 ns/row
+    on the v5e regardless of row width; see DESIGN.md round-3 notes).
+    Bucket id = key1 & (n_buckets − 1). int32 storage avoids any float-NaN
+    canonicalization of value bit patterns in transfers.
     """
 
-    packed: np.ndarray   # (size, 4) int32
-    max_probe: int = 1
+    packed: np.ndarray   # (n_buckets, BUCKET_CAP*4) int32
 
     @classmethod
-    def build(cls, entries: Dict[Tuple[int, ...], Tuple[float, float]]) -> "HashTable":
-        items = []
-        for ids, (v, b) in entries.items():
-            h1, h2 = hash_ids_np(ids)
-            if h1 == 0 and h2 == 0:
-                h1 = np.uint32(1)
-            items.append((np.uint32(h1), np.uint32(h2),
-                          np.float32(v), np.float32(b)))
+    def build_arrays(
+        cls,
+        h1: np.ndarray,
+        h2: np.ndarray,
+        values: np.ndarray,
+        backoffs: np.ndarray,
+    ) -> "BucketTable":
+        """Vectorized build from parallel arrays (the 100M-entry path)."""
+        h1 = h1.astype(np.uint32).copy()
+        h2 = h2.astype(np.uint32)
+        zero = (h1 == 0) & (h2 == 0)
+        h1[zero] = 1  # key (0,0) is the empty marker
 
-        n = max(len(items), 1)
-        # 0.5 load factor. Measured on the v5e: LOWERING load to 0.25 (smaller
-        # probe windows, 2× slots) made the fused-search probes ~1.5× SLOWER —
-        # table footprint beats window width for TPU gather cost. Don't
-        # "optimize" this without re-measuring.
-        size = 1
-        while size < 2 * n:
-            size *= 2
+        # dedup identical 64-bit keys (keep first — matches host behavior)
+        key64 = h1.astype(np.uint64) << np.uint64(32) | h2.astype(np.uint64)
+        _, first_idx = np.unique(key64, return_index=True)
+        if len(first_idx) != len(key64):
+            keep = np.sort(first_idx)
+            h1, h2 = h1[keep], h2[keep]
+            values, backoffs = values[keep], backoffs[keep]
+
+        n = max(len(h1), 1)
+        n_buckets = 1
+        while n_buckets * TARGET_MEAN < n:
+            n_buckets *= 2
         while True:
-            table = cls._try_build(items, size)
-            if table is not None:
-                return table
-            size *= 2  # probe bound exceeded: lower the load factor
+            bucket = (h1 & np.uint32(n_buckets - 1)).astype(np.int64)
+            counts = np.bincount(bucket, minlength=n_buckets)
+            if counts.max(initial=0) <= BUCKET_CAP:
+                break
+            n_buckets *= 2  # Poisson-tail overflow: relax the load factor
+
+        order = np.argsort(bucket, kind="stable")
+        sorted_b = bucket[order]
+        starts = np.zeros(n_buckets, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos = np.arange(len(h1), dtype=np.int64) - starts[sorted_b]
+        slot = sorted_b * BUCKET_CAP + pos
+
+        flat = np.zeros((n_buckets * BUCKET_CAP, 4), np.int32)
+        flat[slot, 0] = h1[order].view(np.int32)
+        flat[slot, 1] = h2[order].view(np.int32)
+        flat[slot, 2] = values[order].astype(np.float32).view(np.int32)
+        flat[slot, 3] = backoffs[order].astype(np.float32).view(np.int32)
+        return cls(flat.reshape(n_buckets, BUCKET_CAP * 4))
 
     @classmethod
-    def _try_build(cls, items, size: int) -> Optional["HashTable"]:
-        mask = size - 1
-        key1 = np.zeros(size, np.uint32)
-        key2 = np.zeros(size, np.uint32)
-        value = np.zeros(size, np.float32)
-        backoff = np.zeros(size, np.float32)
-        dist = np.full(size, -1, np.int32)  # -1 = empty
-        max_probe = 1
-        for h1, h2, v, b in items:
-            d = 0
-            slot = int(h1) & mask
-            while True:
-                if d >= MAX_PROBES:
-                    return None
-                if dist[slot] < 0:
-                    key1[slot], key2[slot] = h1, h2
-                    value[slot], backoff[slot] = v, b
-                    dist[slot] = d
-                    max_probe = max(max_probe, d + 1)
-                    break
-                if key1[slot] == h1 and key2[slot] == h2:
-                    break  # duplicate hash (collision) — keep first
-                if dist[slot] < d:  # Robin Hood: displace the richer entry
-                    key1[slot], h1 = h1, key1[slot]
-                    key2[slot], h2 = h2, key2[slot]
-                    value[slot], v = v, value[slot]
-                    backoff[slot], b = b, backoff[slot]
-                    dist[slot], d = d, dist[slot]
-                    max_probe = max(max_probe, dist[slot] + 1)
-                slot = (slot + 1) & mask
-                d += 1
-        packed = np.stack(
-            [key1.view(np.int32), key2.view(np.int32),
-             value.view(np.int32), backoff.view(np.int32)],
-            axis=1,
-        )
-        return cls(packed, max_probe)
+    def build(
+        cls, entries: Dict[Tuple[int, ...], Tuple[float, float]]
+    ) -> "BucketTable":
+        n = max(len(entries), 1)
+        h1 = np.empty(n, np.uint32)
+        h2 = np.empty(n, np.uint32)
+        v = np.zeros(n, np.float32)
+        b = np.zeros(n, np.float32)
+        for i, (ids, (logp, bow)) in enumerate(entries.items()):
+            h1[i], h2[i] = hash_ids_np(ids)
+            v[i], b[i] = logp, bow
+        if not entries:
+            h1, h2 = h1[:0], h2[:0]
+            v, b = v[:0], b[:0]
+        return cls.build_arrays(h1, h2, v, b)
 
     def as_device(self):
-        # The probe window is fixed at MAX_PROBES rows so the gathered block
-        # is (8, 4) int32 = one aligned 32-lane tile; sub-8 windows produced
-        # misaligned gathers that measured SLOWER despite fewer bytes. Wrapped
-        # slots past a short chain are masked by key equality, so a full
-        # window is always safe.
-        P = min(MAX_PROBES, self.packed.shape[0])
-        return jnp.asarray(self.packed), int(P)
+        return jnp.asarray(self.packed), BUCKET_CAP
 
 
 def _lookup(table, h1, h2, not_found: float):
     """Probe table for key (h1, h2). Returns (value, backoff, found).
 
-    One packed gather fetches all probe slots' [key1, key2, value, backoff]
-    columns at once. Keys are unique in the table (build dedups), so the
-    probe window contains AT MOST one hit — the select reduces to a masked
-    sum, no cumsum/argmax/second gather.
+    One contiguous row gather per key fetches the whole bucket; keys are
+    unique in the table (build dedups), so the bucket contains AT MOST one
+    hit — the select reduces to a masked sum.
     """
-    packed, max_probe = table
-    size = packed.shape[0]
-    mask = size - 1
+    packed, cap = table
+    n_buckets = packed.shape[0]
     h1 = jnp.where((h1 == 0) & (h2 == 0), jnp.uint32(1), h1)
-    slot0 = (h1 & jnp.uint32(mask)).astype(jnp.int32)
+    b = (h1 & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
 
-    probes = jnp.arange(max_probe, dtype=jnp.int32)  # true per-table bound
-    slots = (slot0[..., None] + probes) & mask          # (..., P)
-    rows = packed[slots]                                # (..., P, 4) — 1 gather
+    rows = packed[b]                                     # (..., cap*4) — 1 row gather
+    rows = rows.reshape(rows.shape[:-1] + (cap, 4))
     k1 = rows[..., 0].astype(jnp.uint32)
     k2 = rows[..., 1].astype(jnp.uint32)
     hit = (k1 == h1[..., None]) & (k2 == h2[..., None])
@@ -176,10 +184,10 @@ def _lookup(table, h1, h2, not_found: float):
         jax.lax.bitcast_convert_type(vbits, jnp.float32),
         jnp.float32(not_found),
     )
-    b = jnp.where(
+    b_ = jnp.where(
         found, jax.lax.bitcast_convert_type(bbits, jnp.float32), 0.0
     )
-    return v, b, found
+    return v, b_, found
 
 
 @dataclass
@@ -187,16 +195,19 @@ class DeviceNGram:
     """Packed n-gram LM. Word ids are lexicon ids; BOS/EOS/UNK get reserved
     ids n_words, n_words+1, n_words+2.
 
-    ALL orders live in ONE unified hash table (the 64-bit sequence hash keeps
-    different-length grams distinct), so a full backoff-chain query needs just
-    TWO gathers: one stacked probe for every gram level and one for every
-    context's backoff weight — the n-gram score is the fused beam search's
-    per-frame cost driver, and gather count is what the TPU charges for.
+    Orders >= 2 live in ONE unified bucketed table (the 64-bit sequence hash
+    keeps different-length grams distinct); unigrams are dense arrays indexed
+    by word id (uni_logp holds MISSING for absent words, raw ARPA values —
+    including NO_PROB — otherwise). A full backoff-chain query for H words
+    sharing a context costs (order−1)·H bucket rows + (order−2) context rows
+    + H+1 dense element reads — all single-gather ops.
     """
 
     order: int
     n_words: int
     table: Tuple[jax.Array, int]
+    uni_logp: jax.Array   # (n_words+3,) f32, MISSING if absent
+    uni_bow: jax.Array    # (n_words+3,) f32, 0 if absent
     unk_logp: float
 
     @property
@@ -215,9 +226,9 @@ class DeviceNGram:
     def from_arpa_streaming(
         cls, path: str, lexicon: Lexicon, max_order: Optional[int] = None
     ) -> "DeviceNGram":
-        """Build directly from an ARPA file — the large-model path. Packed
-        slots are 16 bytes at a ≤0.5 load factor (32-64 B per n-gram in HBM;
-        a 100M-entry 5-gram ≈ 3-6 GB), vs the reference's ~300 GB host-RAM
+        """Build directly from an ARPA file — the large-model path. Bucketed
+        slots are 16 bytes at a 0.25 load factor (~64 B per n-gram in HBM;
+        a 100M-entry 5-gram ≈ 6.4 GB), vs the reference's ~300 GB host-RAM
         SRILM representation (README.md:101). For host-side decoding at that
         scale use the C++ runtime's 16 B/entry sorted tables instead."""
         import gzip
@@ -245,7 +256,12 @@ class DeviceNGram:
         order = len(counts) if max_order is None else min(len(counts), max_order)
 
         unk_logp = -23.0
-        entries: Dict[Tuple[int, ...], Tuple[float, float]] = {}
+        uni_logp = np.full(n_words + 3, MISSING, np.float32)
+        uni_bow = np.zeros(n_words + 3, np.float32)
+        hi_h1: List[np.uint32] = []
+        hi_h2: List[np.uint32] = []
+        hi_v: List[float] = []
+        hi_b: List[float] = []
         with opener(path, "rt") as f:
             # skip to first gram section
             for line in f:
@@ -278,9 +294,21 @@ class DeviceNGram:
                     unk_logp = logp
                 if any(i == -2 for i in ids):
                     continue
-                entries[ids] = (logp, bow)
-        return cls(order=order, n_words=n_words,
-                   table=HashTable.build(entries).as_device(),
+                if cur == 1:
+                    uni_logp[ids[0]] = logp
+                    uni_bow[ids[0]] = bow
+                else:
+                    h1, h2 = hash_ids_np(ids)
+                    hi_h1.append(h1)
+                    hi_h2.append(h2)
+                    hi_v.append(logp)
+                    hi_b.append(bow)
+        table = BucketTable.build_arrays(
+            np.asarray(hi_h1, np.uint32), np.asarray(hi_h2, np.uint32),
+            np.asarray(hi_v, np.float32), np.asarray(hi_b, np.float32),
+        )
+        return cls(order=order, n_words=n_words, table=table.as_device(),
+                   uni_logp=jnp.asarray(uni_logp), uni_bow=jnp.asarray(uni_bow),
                    unk_logp=float(unk_logp))
 
     @classmethod
@@ -293,8 +321,16 @@ class DeviceNGram:
                 return special[w]
             return lexicon.word_ids.get(w, -1)
 
+        uni_logp = np.full(n_words + 3, MISSING, np.float32)
+        uni_bow = np.zeros(n_words + 3, np.float32)
+        for gram, (logp, bow) in lm.tables[0].items():
+            i = wid(gram[0])
+            if i >= 0:
+                uni_logp[i] = logp
+                uni_bow[i] = bow
+
         packed: Dict[Tuple[int, ...], Tuple[float, float]] = {}
-        for k in range(lm.order):
+        for k in range(1, lm.order):
             for gram, (logp, bow) in lm.tables[k].items():
                 ids = tuple(wid(w) for w in gram)
                 if any(i < 0 for i in ids):
@@ -302,70 +338,92 @@ class DeviceNGram:
                 packed[ids] = (logp, bow)
         unk = lm.tables[0].get((UNK,), (-23.0, 0.0))[0]
         return cls(order=lm.order, n_words=n_words,
-                   table=HashTable.build(packed).as_device(),
+                   table=BucketTable.build(packed).as_device(),
+                   uni_logp=jnp.asarray(uni_logp), uni_bow=jnp.asarray(uni_bow),
                    unk_logp=float(unk))
 
-    def logp_words(self, context: jax.Array, words: jax.Array) -> jax.Array:
-        """log P(word | context) for a SET of candidate words sharing one
-        context. context: (order-1,) int32 ids, -1 padded on the LEFT (most
-        recent word last); words: (H,) int32. Returns (H,) log-probs.
-
-        Context suffix hashing and the backoff-weight probes depend only on
-        the context, so they run once per beam rather than once per candidate
-        word — in the fused beam search this cuts the LM-probe work on the
-        homophone axis ~2× on top of the packed-table gathers.
-        """
-        order = self.order
-        ctxs = []  # hash pairs of each context suffix, longest first
-        for start in range(order - 1):
+    def context_hashes(self, context: jax.Array):
+        """Hash pairs of each context suffix, longest first (length order−1
+        down to 1). context: (order-1,) int32, -1 left-padded."""
+        ctxs = []
+        for start in range(self.order - 1):
             h1 = jnp.uint32(0x811C9DC5)
             h2 = jnp.uint32(0x01000193)
-            for j in range(start, order - 1):
+            for j in range(start, self.order - 1):
                 w = context[j]
                 h1n, h2n = hash_extend_jnp(h1, h2, w)
                 use = w >= 0
                 h1 = jnp.where(use, h1n, h1)
                 h2 = jnp.where(use, h2n, h2)
             ctxs.append((h1, h2))
+        return ctxs
 
-        # TWO stacked probes into the unified table: one for every gram
-        # level's (context + word) key, one for every context's backoff entry.
+    def logp_words(
+        self,
+        context: jax.Array,
+        words: jax.Array,
+        uni_logp_w: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """log P(word | context) for a SET of candidate words sharing one
+        context. context: (order-1,) int32 ids, -1 padded on the LEFT (most
+        recent word last); words: (H,) int32. Returns (H,) log-probs.
+
+        ``uni_logp_w`` optionally supplies the words' dense unigram log-probs
+        (the fused beam search pre-packs them per trie node so the hot path
+        skips the dense gather). Context suffix hashing and the backoff-weight
+        probes depend only on the context, so they run once per beam rather
+        than once per candidate word.
+        """
+        order = self.order
         H = words.shape[0]
-        levels = list(range(order - 1, 0, -1))  # contexts, longest first
-        gk1, gk2 = [], []
-        for level in levels + [0]:
-            if level > 0:
-                ch1, ch2 = ctxs[(order - 1) - level]
-            else:
-                ch1 = jnp.uint32(0x811C9DC5)
-                ch2 = jnp.uint32(0x01000193)
-            g1, g2 = hash_extend_jnp(ch1, ch2, words)         # (H,)
-            gk1.append(g1)
-            gk2.append(g2)
-        vg, _, fg = _lookup(
-            self.table, jnp.stack(gk1), jnp.stack(gk2), self.unk_logp
-        )                                                     # (order, H)
+        if uni_logp_w is None:
+            uni_logp_w = self.uni_logp[jnp.clip(words, 0)]          # (H,)
+
+        n_valid = jnp.sum((context >= 0).astype(jnp.int32)) if order > 1 else 0
+
         if order > 1:
-            ck1 = jnp.stack([ctxs[(order - 1) - l][0] for l in levels])
-            ck2 = jnp.stack([ctxs[(order - 1) - l][1] for l in levels])
-            _, bows, fcs = _lookup(self.table, ck1, ck2, 0.0)  # (order-1,)
+            ctxs = self.context_hashes(context)
+            levels = list(range(order - 1, 0, -1))  # ctx suffix lengths, desc
+            # gram probes for levels order−1..1 — ONE stacked row gather
+            gk1 = jnp.stack([
+                hash_extend_jnp(*ctxs[(order - 1) - l], words)[0] for l in levels
+            ])                                                       # (o-1, H)
+            gk2 = jnp.stack([
+                hash_extend_jnp(*ctxs[(order - 1) - l], words)[1] for l in levels
+            ])
+            vg, _, fg = _lookup(self.table, gk1, gk2, self.unk_logp)
+            # context-backoff probes: suffix lengths order−1..2 via the table,
+            # length 1 via the dense unigram backoff
+            if order > 2:
+                ck1 = jnp.stack([ctxs[(order - 1) - l][0] for l in levels[:-1]])
+                ck2 = jnp.stack([ctxs[(order - 1) - l][1] for l in levels[:-1]])
+                _, bows_hi, fcs_hi = _lookup(self.table, ck1, ck2, 0.0)
+            last = jnp.clip(context[order - 2], 0)
+            bow1 = self.uni_bow[last]
+            exists1 = self.uni_logp[last] > MISSING / 2
 
         # longest-match with accumulated backoff, unrolled over orders
         result = jnp.full((H,), self.unk_logp, jnp.float32)
         resolved = jnp.zeros((H,), bool)
         bo_acc = jnp.zeros((H,), jnp.float32)
-        n_valid = jnp.sum((context >= 0).astype(jnp.int32))
-        for i, level in enumerate(levels + [0]):
-            level_ok = (n_valid >= level) if level > 0 else jnp.bool_(True)
-            v, found = vg[i], fg[i]
-            # NO_PROB (-99 log10) entries exist only as backoff contexts
-            hit = found & (v > -200.0) & level_ok & ~resolved
-            result = jnp.where(hit, bo_acc + v, result)
-            resolved = resolved | hit
-            if level > 0:
-                # this context's backoff weight, broadcast over H
-                add = jnp.where(fcs[i] & level_ok & ~resolved, bows[i], 0.0)
+        if order > 1:
+            for i, level in enumerate(levels):
+                level_ok = n_valid >= level
+                v, found = vg[i], fg[i]
+                # NO_PROB (-99 log10) entries exist only as backoff contexts
+                hit = found & (v > -200.0) & level_ok & ~resolved
+                result = jnp.where(hit, bo_acc + v, result)
+                resolved = resolved | hit
+                if level >= 2:
+                    bow_l, exists_l = bows_hi[i], fcs_hi[i]
+                else:
+                    bow_l, exists_l = bow1, exists1
+                add = jnp.where(exists_l & level_ok & ~resolved, bow_l, 0.0)
                 bo_acc = bo_acc + add
+        # level 0: dense unigram
+        hit0 = (uni_logp_w > -200.0) & ~resolved
+        result = jnp.where(hit0, bo_acc + uni_logp_w, result)
+        resolved = resolved | hit0
         return jnp.where(resolved, result, bo_acc + self.unk_logp)
 
     def logp(self, context: jax.Array, word: jax.Array) -> jax.Array:

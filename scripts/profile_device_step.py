@@ -206,6 +206,72 @@ def bench_sort(args):
     print(json.dumps({"topk_us": round(per3 * 1e6, 1)}), flush=True)
 
 
+# ------------------------------------------------------------------ selection
+def bench_sel(args):
+    """Selection/merge op costs at the searcher's shapes: top_k vs
+    approx_max_k, sort operand scaling, minor-dim take_along_axis, and the
+    fused 4-column segmented scan."""
+    B, N, K = args.batch, args.cands, args.K
+    key = jax.random.PRNGKey(0)
+    vals = jax.random.normal(key, (B, N))
+    k1 = jax.random.randint(key, (B, N), 0, 1 << 30, jnp.int32)
+
+    def t(name, make_step, extra=None):
+        per = timed_scan(make_step, args.iters)
+        print(json.dumps({"op": name, "us": round(per * 1e6, 1),
+                          **(extra or {})}), flush=True)
+
+    def s_topk(c, i):
+        v, idx = jax.lax.top_k(vals + i, K)
+        return c + v[0, 0]
+
+    t("top_k", s_topk)
+
+    for recall in (0.95, 0.99):
+        def s_approx(c, i, r=recall):
+            v, idx = jax.lax.approx_max_k(vals + i, K, recall_target=r)
+            return c + v[0, 0]
+
+        t(f"approx_max_k_{recall}", s_approx)
+
+    for n_ops in (3, 5, 7):
+        ops = [jax.random.normal(jax.random.fold_in(key, j), (B, N))
+               for j in range(n_ops - 1)]
+
+        def s_sort(c, i, ops=ops):
+            out = jax.lax.sort((k1 + i, *ops), num_keys=2, dimension=1)
+            return c + out[1][0, 0]
+
+        t(f"sort_{n_ops}ops", s_sort)
+
+    from b2txt_tpu.decode.lmbeam_jax import _seg_merge4
+
+    starts = jax.random.bernoulli(key, 0.3, (B, N))
+    vals4 = jax.random.normal(key, (B, N, 4))
+
+    def s_seg4(c, i):
+        out = jax.vmap(lambda v, s: _seg_merge4(v, s, False))(vals4 + i, starts)
+        return c + out[0, 0, 0]
+
+    t("seg_merge4_viterbi", s_seg4)
+
+    def s_seg4s(c, i):
+        out = jax.vmap(lambda v, s: _seg_merge4(v, s, True))(vals4 + i, starts)
+        return c + out[0, 0, 0]
+
+    t("seg_merge4_sum", s_seg4s)
+
+    # minor-dim take_along_axis: (B*K, 41) rows -> (B*K, 8) selected columns
+    rows = jax.random.normal(key, (B * K, 41))
+    idx = jax.random.randint(key, (B * K, 8), 0, 41, jnp.int32)
+
+    def s_take(c, i):
+        out = jnp.take_along_axis(rows + i, idx, axis=1)
+        return c + out[0, 0]
+
+    t("take_minor_41to8", s_take, {"rows": B * K})
+
+
 # ----------------------------------------------------------------------- step
 def bench_step(args):
     from scripts.bench_device_decode import build_world, make_utts  # noqa
@@ -223,11 +289,11 @@ def bench_step(args):
     dev = DeviceLexiconBeamSearch(lex, lm, cfg)
     tab, P = dev.dev_lm.table
     print(json.dumps({
-        "lm_table_slots": int(tab.shape[0]),
-        "lm_table_MB": round(tab.shape[0] * 16 / 1e6, 1),
+        "lm_table_rows": int(tab.shape[0]),
+        "lm_table_MB": round(tab.size * 4 / 1e6, 1),
         "trie_nodes": lex.n_nodes,
         "trie_next_MB": round(lex.n_nodes * 41 * 4 / 1e6, 1),
-        "max_probe": P,
+        "row_width": int(tab.shape[1]) if tab.ndim > 1 else P,
     }), flush=True)
 
     if args.stub_lm:
@@ -240,7 +306,7 @@ def bench_step(args):
             unk_logp = real.unk_logp
             table = real.table
 
-            def logp_words(self, ctx, words):
+            def logp_words(self, ctx, words, uni_logp_w=None):
                 return jnp.zeros(words.shape, jnp.float32) - 2.0
 
             def logp(self, ctx, word):
@@ -278,7 +344,7 @@ def bench_step(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["step", "gather", "sort"])
+    p.add_argument("mode", choices=["step", "gather", "sort", "sel"])
     p.add_argument("--vocab", type=int, default=125_000)
     p.add_argument("--K", type=int, default=96)
     p.add_argument("--batch", type=int, default=32)
@@ -295,6 +361,8 @@ def main():
         bench_gathers(args)
     elif args.mode == "sort":
         bench_sort(args)
+    elif args.mode == "sel":
+        bench_sel(args)
     else:
         bench_step(args)
 

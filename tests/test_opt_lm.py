@@ -1,0 +1,183 @@
+"""OPT-architecture JAX rescorer: logit parity vs transformers.OPTForCausalLM
+on a tiny random config (the reference's OPT-6.7b path,
+language-model-standalone.py:92-161), HF weight import, and 6.7b-scale
+tensor-parallel sharding specs compiling on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from b2txt_tpu.decode import opt_lm
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    cfg = opt_lm.OPTConfig.tiny()
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        ffn_dim=cfg.ffn_dim,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        word_embed_proj_dim=cfg.hidden_size,
+        do_layer_norm_before=True,   # the 6.7b configuration
+        dropout=0.0,
+        activation_function="relu",
+    )
+    torch.manual_seed(0)
+    model = transformers.OPTForCausalLM(hf_cfg).eval()
+    params = opt_lm.params_from_hf(model.state_dict(), cfg)
+    return cfg, model, params
+
+
+def test_logit_parity_full_batch(tiny_pair):
+    cfg, model, params = tiny_pair
+    rng = np.random.default_rng(0)
+    B, L = 3, 17
+    tokens = rng.integers(0, cfg.vocab_size, (B, L))
+    mask = np.ones((B, L), np.float32)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(mask),
+        ).logits.numpy()
+    got = np.asarray(
+        opt_lm.forward(params, jnp.asarray(tokens, jnp.int32),
+                       jnp.asarray(mask), cfg)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
+
+
+def test_logit_parity_with_padding(tiny_pair):
+    """Padded rows: OPT's mask-cumsum position ids must match HF exactly on
+    the REAL token positions (padding positions are free)."""
+    cfg, model, params = tiny_pair
+    rng = np.random.default_rng(1)
+    B, L = 4, 21
+    lens = np.array([21, 13, 5, 1])
+    tokens = rng.integers(0, cfg.vocab_size, (B, L))
+    mask = (np.arange(L)[None] < lens[:, None]).astype(np.float32)
+    tokens = tokens * mask.astype(tokens.dtype)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(mask),
+        ).logits.numpy()
+    got = np.asarray(
+        opt_lm.forward(params, jnp.asarray(tokens, jnp.int32),
+                       jnp.asarray(mask), cfg)
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            got[b, : lens[b]], ref[b, : lens[b]], rtol=1e-4, atol=2e-4
+        )
+
+
+def test_rescorer_ranks_like_hf(tiny_pair):
+    """Score parity through the LLMScorer protocol: token-logprob sums equal
+    HF's and the length penalty applies as n_tokens * penalty."""
+    cfg, model, params = tiny_pair
+    rng = np.random.default_rng(2)
+
+    texts = ["hello there", "abc", "the quick brown fox"]
+    enc = lambda t, n: [(7 + 31 * b) % cfg.vocab_size  # noqa: E731
+                        for b in t.encode()][:n]
+    r = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=32)
+    got = r.score(texts, length_penalty=0.0)
+    got_pen = r.score(texts, length_penalty=0.5)
+
+    for text, g, gp in zip(texts, got, got_pen):
+        ids = enc(text, 32)
+        with torch.no_grad():
+            logits = model(input_ids=torch.tensor([ids])).logits[0]
+        lp = torch.log_softmax(logits, dim=-1)
+        want = sum(
+            float(lp[i, ids[i + 1]]) for i in range(len(ids) - 1)
+        )
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(gp, g - 0.5 * len(ids), rtol=1e-5)
+
+
+def test_weight_import_shapes_6_7b():
+    """The converter's expected state_dict keys cover the real checkpoint
+    layout (verified against transformers' OPT module naming)."""
+    cfg = opt_lm.OPTConfig.opt_6_7b()
+    assert (cfg.hidden_size, cfg.ffn_dim, cfg.num_layers, cfg.num_heads) == (
+        4096, 16384, 32, 32
+    )
+    # named like the HF checkpoint; tiny tensors stand in for the 6.7b ones
+    sd = {}
+    D, F, V = 8, 16, 11
+    small = opt_lm.OPTConfig(vocab_size=V, hidden_size=D, ffn_dim=F,
+                             num_layers=cfg.num_layers, num_heads=2,
+                             max_position_embeddings=6)
+    sd["model.decoder.embed_tokens.weight"] = np.zeros((V, D))
+    sd["model.decoder.embed_positions.weight"] = np.zeros((8, D))
+    sd["model.decoder.final_layer_norm.weight"] = np.ones(D)
+    sd["model.decoder.final_layer_norm.bias"] = np.zeros(D)
+    for i in range(cfg.num_layers):
+        p = f"model.decoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{proj}.weight"] = np.zeros((D, D))
+            sd[f"{p}.self_attn.{proj}.bias"] = np.zeros(D)
+        sd[f"{p}.self_attn_layer_norm.weight"] = np.ones(D)
+        sd[f"{p}.self_attn_layer_norm.bias"] = np.zeros(D)
+        sd[f"{p}.final_layer_norm.weight"] = np.ones(D)
+        sd[f"{p}.final_layer_norm.bias"] = np.zeros(D)
+        sd[f"{p}.fc1.weight"] = np.zeros((F, D))
+        sd[f"{p}.fc1.bias"] = np.zeros(F)
+        sd[f"{p}.fc2.weight"] = np.zeros((D, F))
+        sd[f"{p}.fc2.bias"] = np.zeros(D)
+    params = opt_lm.params_from_hf(sd, small)
+    assert params["layers"][31]["fc1_w"].shape == (D, F)
+    assert params["embed_tokens"].shape == (V, D)
+
+
+def test_6_7b_tp_specs_compile():
+    """AOT-compile the FULL 6.7b forward, tensor-parallel over the virtual
+    8-device mesh — proves the sharding specs partition (no replication of
+    the big matmuls) without materializing 6.7b parameters."""
+    cfg = opt_lm.OPTConfig.opt_6_7b()
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    specs = partition = opt_lm.partition_specs(cfg)
+    score = opt_lm.score_tokens_fn(cfg, compute_dtype=jnp.bfloat16)
+
+    param_shapes = jax.eval_shape(
+        lambda k: opt_lm.init_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0),
+    )
+    B, L = 8, 32
+    tok = jax.ShapeDtypeStruct((B, L), jnp.int32)
+    msk = jax.ShapeDtypeStruct((B, L), jnp.float32)
+
+    with mesh:
+        fn = jax.jit(
+            score,
+            in_shardings=(
+                jax.tree_util.tree_map(
+                    lambda s: jax.sharding.NamedSharding(mesh, s), partition,
+                    is_leaf=lambda x: isinstance(x, P),
+                ),
+                jax.sharding.NamedSharding(mesh, P("data", None)),
+                jax.sharding.NamedSharding(mesh, P("data", None)),
+            ),
+        )
+        lowered = fn.lower(param_shapes, tok, msk)
+        compiled = lowered.compile()
+
+    # per-device parameter memory must be ~1/4 of the total (model=4):
+    # 6.7b bf16 ≈ 13.2 GB total → ~3.4 GB/device. Check via the compiled
+    # executable's input shardings on the largest weight.
+    fc1_sharding = compiled.input_shardings[0][0]["layers"][0]["fc1_w"]
+    shard_shape = fc1_sharding.shard_shape((cfg.hidden_size, cfg.ffn_dim))
+    assert shard_shape == (cfg.hidden_size, cfg.ffn_dim // 4)
