@@ -236,21 +236,38 @@ class DeviceLexiconBeamSearch:
     def __init__(
         self,
         lexicon: Lexicon,
-        lm: NGramLM,
+        lm: Optional[NGramLM],
         config: Optional[DecodeConfig] = None,
         blank: int = BLANK_ID,
         sil: int = SIL_ID_MODEL,
         max_homophones: int = 4,
+        dev_lm: Optional[DeviceNGram] = None,
     ):
+        """Pass either a host NGramLM (packed onto the device here) or a
+        prebuilt DeviceNGram (``dev_lm`` — the from_arpa_streaming path for
+        LMs too large to hold as host dicts)."""
         self.lexicon = lexicon
         self.config = config or DecodeConfig()
         self.blank = blank
         self.sil = sil
         self.H = max_homophones
-        self.dev_lm = DeviceNGram.build(lm, lexicon)
+        self.dev_lm = dev_lm if dev_lm is not None else DeviceNGram.build(
+            lm, lexicon
+        )
         # LM lookahead smearing over the trie (see lmbeam.py) — ranking only,
         # cancels at word close.
-        la_np = lexicon.lookahead_scores(lambda w: lm.logp([], w))
+        if lm is not None:
+            la_np = lexicon.lookahead_scores(lambda w: lm.logp([], w))
+        else:
+            uni = np.asarray(self.dev_lm.uni_logp)
+            unk = self.dev_lm.unk_logp
+            ids = lexicon.word_ids
+
+            def uni_lp(w: str) -> float:
+                v = uni[ids[w]]
+                return float(v) if v > -1e8 else unk
+
+            la_np = lexicon.lookahead_scores(uni_lp)
         self.la = jnp.asarray(la_np)
         self.la0 = float(la_np[0])
         self.trie = TrieArrays.build(

@@ -71,6 +71,20 @@ def hash_ids_np(ids: Sequence[int]) -> Tuple[np.uint32, np.uint32]:
     return h1, h2
 
 
+def hash_ids_batch(ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized hash_ids_np over an (N, L) id matrix — the 100M-entry ARPA
+    streaming path hashes whole chunks in L column passes."""
+    n = ids.shape[0]
+    h1 = np.full(n, 0x811C9DC5, np.uint32)
+    h2 = np.full(n, 0x01000193, np.uint32)
+    for j in range(ids.shape[1]):
+        with np.errstate(over="ignore"):
+            c = (ids[:, j].astype(np.int64) + 3).astype(np.uint32)
+        h1 = _mix_np(h1, c, SEED1)
+        h2 = _mix_np(h2, c, SEED2)
+    return h1, h2
+
+
 def hash_extend_jnp(h1: jax.Array, h2: jax.Array, wid: jax.Array):
     c = (wid + 3).astype(jnp.uint32)
     return _mix_jnp(h1, c, SEED1), _mix_jnp(h2, c, SEED2)
@@ -258,19 +272,45 @@ class DeviceNGram:
         unk_logp = -23.0
         uni_logp = np.full(n_words + 3, MISSING, np.float32)
         uni_bow = np.zeros(n_words + 3, np.float32)
-        hi_h1: List[np.uint32] = []
-        hi_h2: List[np.uint32] = []
-        hi_v: List[float] = []
-        hi_b: List[float] = []
+        # preallocate from the header counts (upper bound) — a 100M-entry
+        # ARPA streams through fixed arrays, never python-object lists
+        n_hi = sum(counts[1:order]) if order > 1 else 0
+        hi_h1 = np.empty(n_hi, np.uint32)
+        hi_h2 = np.empty(n_hi, np.uint32)
+        hi_v = np.empty(n_hi, np.float32)
+        hi_b = np.empty(n_hi, np.float32)
+        n_filled = 0
+        CHUNK = 1 << 18
+        ids_buf = np.empty((CHUNK, order), np.int64)
+        vb_buf = np.empty((CHUNK, 2), np.float32)
+
+        def flush(cur: int, n: int):
+            nonlocal n_filled
+            if n == 0 or cur == 1:
+                return
+            ids = ids_buf[:n, :cur]
+            ok = ~(ids == -2).any(axis=1)
+            ids, vb = ids[ok], vb_buf[:n][ok]
+            h1, h2 = hash_ids_batch(ids)
+            m = len(h1)
+            hi_h1[n_filled : n_filled + m] = h1
+            hi_h2[n_filled : n_filled + m] = h2
+            hi_v[n_filled : n_filled + m] = vb[:, 0]
+            hi_b[n_filled : n_filled + m] = vb[:, 1]
+            n_filled += m
+
         with opener(path, "rt") as f:
             # skip to first gram section
             for line in f:
                 if line.strip() == "\\1-grams:":
                     break
             cur = 1
+            n_buf = 0
             for line in f:
                 s = line.strip()
                 if s.startswith("\\") and s.endswith("-grams:"):
+                    flush(cur, n_buf)
+                    n_buf = 0
                     cur = int(s[1:].split("-")[0])
                     if cur > order:
                         break
@@ -289,23 +329,26 @@ class DeviceNGram:
                     float(parts[1 + cur]) * LOG10
                     if len(parts) > 1 + cur else 0.0
                 )
-                ids = tuple(wid(w) for w in words)
-                if cur == 1 and words[0] == UNK:
-                    unk_logp = logp
-                if any(i == -2 for i in ids):
-                    continue
                 if cur == 1:
-                    uni_logp[ids[0]] = logp
-                    uni_bow[ids[0]] = bow
-                else:
-                    h1, h2 = hash_ids_np(ids)
-                    hi_h1.append(h1)
-                    hi_h2.append(h2)
-                    hi_v.append(logp)
-                    hi_b.append(bow)
+                    if words[0] == UNK:
+                        unk_logp = logp
+                    i = wid(words[0])
+                    if i >= 0:
+                        uni_logp[i] = logp
+                        uni_bow[i] = bow
+                    continue
+                for j, w in enumerate(words):
+                    ids_buf[n_buf, j] = wid(w)
+                vb_buf[n_buf, 0] = logp
+                vb_buf[n_buf, 1] = bow
+                n_buf += 1
+                if n_buf == CHUNK:
+                    flush(cur, n_buf)
+                    n_buf = 0
+            flush(cur, n_buf)
         table = BucketTable.build_arrays(
-            np.asarray(hi_h1, np.uint32), np.asarray(hi_h2, np.uint32),
-            np.asarray(hi_v, np.float32), np.asarray(hi_b, np.float32),
+            hi_h1[:n_filled], hi_h2[:n_filled],
+            hi_v[:n_filled], hi_b[:n_filled],
         )
         return cls(order=order, n_words=n_words, table=table.as_device(),
                    uni_logp=jnp.asarray(uni_logp), uni_bow=jnp.asarray(uni_bow),
