@@ -664,6 +664,7 @@ class DeviceLexiconBeamSearch:
         def finalize_batch(state, sum_mode: bool = True):
             return jax.vmap(lambda s: finalize(s, sum_mode))(state)
 
+        self._finalize_impl = finalize_batch  # unjitted, for the sharded path
         return (
             jax.jit(finalize, static_argnames=("sum_mode",)),
             jax.jit(finalize_batch, static_argnames=("sum_mode",)),
@@ -675,12 +676,9 @@ class DeviceLexiconBeamSearch:
         is where the TPU's throughput advantage over per-utterance decoding
         comes from."""
 
-        @functools.partial(jax.jit, static_argnames=("scale", "length_penalty",
-                                                     "log_blank_penalty",
-                                                     "first_beam", "sum_mode"))
-        def scan_batch(state, lp_btv, lengths, scale: float,
-                       length_penalty: float, log_blank_penalty: float,
-                       first_beam=None, sum_mode: bool = True):
+        def scan_batch_impl(state, lp_btv, lengths, scale: float,
+                            length_penalty: float, log_blank_penalty: float,
+                            first_beam=None, sum_mode: bool = True):
             B, T, V = lp_btv.shape
             K = state.s.shape[1]
             if log_blank_penalty != 0.0:
@@ -718,7 +716,12 @@ class DeviceLexiconBeamSearch:
             )
             return state, recs
 
-        return scan_batch
+        self._scan_impl = scan_batch_impl  # unjitted, for the sharded path
+        return jax.jit(
+            scan_batch_impl,
+            static_argnames=("scale", "length_penalty", "log_blank_penalty",
+                             "first_beam", "sum_mode"),
+        )
 
     def decode_batch(
         self,
@@ -732,6 +735,28 @@ class DeviceLexiconBeamSearch:
         host-side frame compaction (compact_blank_skip) so the device scan
         only runs over informative frames.
         """
+        cfg = self.config
+        lp_np, input_lengths, log_bp = self._prep_batch(log_probs, input_lengths)
+        B = lp_np.shape[0]
+        lp = jnp.asarray(lp_np)
+        single = self._make_state()
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
+        )
+        state, recs = self._batch_scan(
+            state, lp, jnp.asarray(input_lengths, jnp.int32),
+            scale=float(cfg.acoustic_scale),
+            length_penalty=float(cfg.length_penalty),
+            log_blank_penalty=log_bp,
+            first_beam=cfg.first_beam_size or None,
+            sum_mode=bool(cfg.sum_mode),
+        )
+        final = self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
+        return self._extract_results(final, recs, nbest)
+
+    def _prep_batch(self, log_probs, input_lengths):
+        """Host-side batch prep shared by the plain and sharded decodes:
+        blank-skip frame compaction + T bucketing (static scan shapes)."""
         cfg = self.config
         lp_np = np.asarray(log_probs, np.float32)
         B, T, V = lp_np.shape
@@ -750,23 +775,12 @@ class DeviceLexiconBeamSearch:
             pad = np.full((B, T_pad - lp_np.shape[1], V), -30.0, np.float32)
             pad[:, :, self.blank] = 0.0
             lp_np = np.concatenate([lp_np, pad], axis=1)
-        lp = jnp.asarray(lp_np)
-        single = self._make_state()
-        state = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
-        )
-        state, recs = self._batch_scan(
-            state, lp, jnp.asarray(input_lengths, jnp.int32),
-            scale=float(cfg.acoustic_scale),
-            length_penalty=float(cfg.length_penalty),
-            log_blank_penalty=log_bp,
-            first_beam=cfg.first_beam_size or None,
-            sum_mode=bool(cfg.sum_mode),
-        )
-        scores, fwords, lms, acs = (
-            np.asarray(x)
-            for x in self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
-        )
+        return lp_np, np.asarray(input_lengths, np.int32), log_bp
+
+    def _extract_results(self, final, recs, nbest):
+        cfg = self.config
+        scores, fwords, lms, acs = (np.asarray(x) for x in final)
+        B = scores.shape[0]
         # syms are not needed for batched n-best extraction — don't fetch them
         parents = np.asarray(recs[0]).astype(np.int64)        # (T, B, K)
         words = np.asarray(recs[2])
@@ -803,6 +817,112 @@ class DeviceLexiconBeamSearch:
                 )
             results.append(out)
         return results
+
+    # -------------------------------------------------------------- sharded
+    def sharded_decode_batch(
+        self,
+        log_probs: np.ndarray,
+        input_lengths: Optional[np.ndarray] = None,
+        *,
+        mesh,
+        axis: str = "data",
+        nbest: Optional[int] = None,
+    ) -> List[List[DecodeResult]]:
+        """decode_batch over a jax.sharding.Mesh: the utterance batch shards
+        over ``axis`` AND the n-gram bucket table row-shards over the same
+        devices' HBM (ShardedNGram). This is the capacity scaling for
+        reference-scale LMs — the ~300 GB-RAM SRILM 5-gram (README.md:101)
+        becomes bucket rows split D ways; probes exchange keys with
+        all_gather and reassemble answers with a psum over the axis.
+
+        Results are bit-identical to decode_batch (tested on the virtual
+        8-device mesh). B must be divisible by the axis size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.config
+        D = mesh.shape[axis]
+        lp_np, lengths, log_bp = self._prep_batch(log_probs, input_lengths)
+        B = lp_np.shape[0]
+        if B % D:
+            raise ValueError(f"batch {B} not divisible by mesh axis size {D}")
+
+        key = (id(mesh), axis)
+        if getattr(self, "_sharded_cache", None) is None:
+            self._sharded_cache = {}
+        if key not in self._sharded_cache:
+            self._sharded_cache[key] = self._build_sharded_scan(mesh, axis)
+        run = self._sharded_cache[key]
+
+        packed, cap = self.dev_lm.table
+        table = jax.device_put(packed, NamedSharding(mesh, P(axis, None)))
+        single = self._make_state()
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
+        )
+        final_and_recs = run(
+            table, state, jnp.asarray(lp_np), jnp.asarray(lengths),
+            scale=float(cfg.acoustic_scale),
+            length_penalty=float(cfg.length_penalty),
+            log_blank_penalty=log_bp,
+            first_beam=cfg.first_beam_size or None,
+            sum_mode=bool(cfg.sum_mode),
+        )
+        final, recs = final_and_recs
+        return self._extract_results(final, recs, nbest)
+
+    def _build_sharded_scan(self, mesh, axis: str):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..lm.device_ngram import ShardedNGram
+
+        sharded_lm = ShardedNGram.from_device_ngram(self.dev_lm, axis)
+        base_lm = self.dev_lm
+
+        def local_fn(table_shard, state, lp_btv, lengths, *, scale,
+                     length_penalty, log_blank_penalty, first_beam, sum_mode):
+            # swap the LM view for the collective one while TRACING the scan
+            # and finalize bodies (shard_map traces this function once per
+            # shape; the swap is trace-time only)
+            sharded_lm.bind_shard(table_shard)
+            self.dev_lm = sharded_lm
+            try:
+                state, recs = self._scan_impl(
+                    state, lp_btv, lengths, scale, length_penalty,
+                    log_blank_penalty, first_beam, sum_mode,
+                )
+                final = self._finalize_impl(state, sum_mode)
+            finally:
+                self.dev_lm = base_lm
+            return final, recs
+
+        state_spec = P(axis)
+        rec_spec = (P(None, axis), P(None, axis), P(None, axis))
+        final_spec = (P(axis), P(axis), P(axis), P(axis))
+
+        @functools.partial(jax.jit, static_argnames=(
+            "scale", "length_penalty", "log_blank_penalty", "first_beam",
+            "sum_mode"))
+        def run(table, state, lp_btv, lengths, scale, length_penalty,
+                log_blank_penalty, first_beam, sum_mode):
+            fn = functools.partial(
+                local_fn, scale=scale, length_penalty=length_penalty,
+                log_blank_penalty=log_blank_penalty, first_beam=first_beam,
+                sum_mode=sum_mode,
+            )
+            wrapped = shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(axis, None), state_spec, P(axis, None, None),
+                          P(axis)),
+                out_specs=(final_spec, rec_spec),
+            )
+            return wrapped(table, state, lp_btv, lengths)
+
+        return run
 
     # ------------------------------------------------------------- protocol
     def decode(self, log_probs: np.ndarray) -> None:

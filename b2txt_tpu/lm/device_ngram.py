@@ -401,6 +401,11 @@ class DeviceNGram:
             ctxs.append((h1, h2))
         return ctxs
 
+    def _lookup(self, h1, h2, not_found: float):
+        """Probe entry point — ShardedNGram overrides this with the
+        collective (all_gather + masked local gather + psum) version."""
+        return _lookup(self.table, h1, h2, not_found)
+
     def logp_words(
         self,
         context: jax.Array,
@@ -434,13 +439,13 @@ class DeviceNGram:
             gk2 = jnp.stack([
                 hash_extend_jnp(*ctxs[(order - 1) - l], words)[1] for l in levels
             ])
-            vg, _, fg = _lookup(self.table, gk1, gk2, self.unk_logp)
+            vg, _, fg = self._lookup(gk1, gk2, self.unk_logp)
             # context-backoff probes: suffix lengths order−1..2 via the table,
             # length 1 via the dense unigram backoff
             if order > 2:
                 ck1 = jnp.stack([ctxs[(order - 1) - l][0] for l in levels[:-1]])
                 ck2 = jnp.stack([ctxs[(order - 1) - l][1] for l in levels[:-1]])
-                _, bows_hi, fcs_hi = _lookup(self.table, ck1, ck2, 0.0)
+                _, bows_hi, fcs_hi = self._lookup(ck1, ck2, 0.0)
             last = jnp.clip(context[order - 2], 0)
             bow1 = self.uni_bow[last]
             exists1 = self.uni_logp[last] > MISSING / 2
@@ -472,3 +477,70 @@ class DeviceNGram:
     def logp(self, context: jax.Array, word: jax.Array) -> jax.Array:
         """log P(word | context) for one candidate (see logp_words)."""
         return self.logp_words(context, word.reshape(1))[0]
+
+
+@dataclass
+class ShardedNGram(DeviceNGram):
+    """DeviceNGram whose bucket table is ROW-SHARDED over a mesh axis — the
+    capacity story for reference-scale LMs (a 300 GB-RAM SRILM 5-gram,
+    README.md:101, becomes ~6.4 GB of bucket rows split across the mesh's
+    HBM; 8 × v5e hold ~1.6 B entries).
+
+    Must run inside shard_map over ``axis_name``: each device holds
+    n_buckets/D consecutive bucket rows (the high bits of the bucket id pick
+    the owner). A probe all_gathers the query keys over the axis, answers
+    the subset it owns from its local shard (others contribute zero rows),
+    and a psum reassembles every device's answers; each device then keeps
+    its own slice. ``shard`` is bound at trace time by the sharded decode
+    wrapper (decode/lmbeam_jax.py sharded_decode_batch).
+    """
+
+    axis_name: str = "data"
+
+    def bind_shard(self, shard: jax.Array) -> None:
+        # set while tracing the shard_mapped function; `shard` is the local
+        # (n_buckets/D, cap*4) block of the table
+        self._shard = shard
+
+    def _lookup(self, h1, h2, not_found: float):
+        shard = self._shard
+        cap = self.table[1]
+        axis = self.axis_name
+        D = jax.lax.psum(1, axis)
+        idx = jax.lax.axis_index(axis)
+        n_buckets = shard.shape[0] * D
+        local_n = shard.shape[0]
+
+        h1 = jnp.where((h1 == 0) & (h2 == 0), jnp.uint32(1), h1)
+        # every device's queries, stacked on a new leading axis
+        all_h1 = jax.lax.all_gather(h1, axis)            # (D, ...)
+        all_h2 = jax.lax.all_gather(h2, axis)
+        bucket = (all_h1 & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+        owner = bucket // local_n
+        local_b = bucket % local_n
+        rows = shard[jnp.where(owner == idx, local_b, 0)]     # local gather
+        rows = jnp.where((owner == idx)[..., None], rows, 0)
+        rows = jax.lax.psum(rows, axis)                  # (D, ..., cap*4)
+        rows = rows[idx]                                 # my queries' answers
+        rows = rows.reshape(rows.shape[:-1] + (cap, 4))
+        k1 = rows[..., 0].astype(jnp.uint32)
+        k2 = rows[..., 1].astype(jnp.uint32)
+        hit = (k1 == h1[..., None]) & (k2 == all_h2[idx][..., None])
+        found = jnp.any(hit, axis=-1)
+        vbits = jnp.sum(jnp.where(hit, rows[..., 2], 0), axis=-1)
+        bbits = jnp.sum(jnp.where(hit, rows[..., 3], 0), axis=-1)
+        v = jnp.where(
+            found,
+            jax.lax.bitcast_convert_type(vbits, jnp.float32),
+            jnp.float32(not_found),
+        )
+        b_ = jnp.where(
+            found, jax.lax.bitcast_convert_type(bbits, jnp.float32), 0.0
+        )
+        return v, b_, found
+
+    @classmethod
+    def from_device_ngram(cls, dev: DeviceNGram, axis_name: str) -> "ShardedNGram":
+        return cls(order=dev.order, n_words=dev.n_words, table=dev.table,
+                   uni_logp=dev.uni_logp, uni_bow=dev.uni_bow,
+                   unk_logp=dev.unk_logp, axis_name=axis_name)
