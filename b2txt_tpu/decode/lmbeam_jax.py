@@ -378,17 +378,19 @@ class DeviceLexiconBeamSearch:
             FB = first_beam
             c = jnp.broadcast_to(c_fb[None, :], (K, FB)).astype(jnp.int32)
             lp_ext = jnp.broadcast_to(lp_fb[None, :], (K, FB))
-            # column select via one-hot matmul: minor-dim take_along_axis
-            # costs ~28 ns per selected element on the v5e (the per-index
-            # gather charge), while this (K,41)x(41,FB) contraction is MXU
-            # noise. child ids < 2^24 are exact in f32.
-            onehot = (c_fb[None, :] == jnp.arange(V)[:, None]).astype(
-                jnp.float32
-            )                                                  # (V, FB)
-            child = jnp.round(
-                child_all.astype(jnp.float32) @ onehot
-            ).astype(jnp.int32)                                # (K, FB)
-            la_child = la_all @ onehot
+            # column select via masked sum on the VPU: minor-dim
+            # take_along_axis costs ~28 ns per selected element on the v5e
+            # (the per-index gather charge), and an MXU one-hot matmul runs
+            # bf16 by default on TPU (mangles node ids!). where+sum against
+            # a one-hot mask is exact in both int32 and f32 and fuses to a
+            # cheap (K, FB, V) elementwise reduce.
+            sel = c_fb[None, :, None] == jnp.arange(V)[None, None, :]
+            child = jnp.sum(
+                jnp.where(sel, child_all[:, None, :], 0), axis=-1
+            )                                                  # (K, FB)
+            la_child = jnp.sum(
+                jnp.where(sel, la_all[:, None, :], 0.0), axis=-1
+            )
         else:
             FB = V
             c = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (K, V))
