@@ -131,13 +131,16 @@ class TrieArrays:
     ) -> "TrieArrays":
         n_nodes = lexicon.n_nodes
         H = max_homophones
+        # vectorized CSR → (n_nodes, H) scatter (a python per-node loop costs
+        # minutes at the 125k-word scale)
         words_at = np.full((n_nodes, H), -1, np.int32)
-        dropped = 0
-        for node in range(n_nodes):
-            ws = lexicon.node_words(node)
-            for j, w in enumerate(ws[:H]):
-                words_at[node, j] = w
-            dropped += max(0, len(ws) - H)
+        counts = np.diff(lexicon.word_offsets).astype(np.int64)
+        node_of = np.repeat(np.arange(n_nodes, dtype=np.int64), counts)
+        pos = (np.arange(len(lexicon.word_list), dtype=np.int64)
+               - np.repeat(lexicon.word_offsets[:-1].astype(np.int64), counts))
+        keep = pos < H
+        words_at[node_of[keep], pos[keep]] = lexicon.word_list[keep]
+        dropped = int(np.maximum(counts - H, 0).sum())
 
         la32 = np.asarray(la, np.float32)
         uni_w = uni_logp[np.clip(words_at, 0, None)].astype(np.float32)
@@ -737,8 +740,14 @@ class DeviceLexiconBeamSearch:
         host-side frame compaction (compact_blank_skip) so the device scan
         only runs over informative frames.
         """
+        import os
+        import time as _time
+
+        timing = os.environ.get("B2TXT_DECODE_TIMING")
         cfg = self.config
+        t0 = _time.perf_counter()
         lp_np, input_lengths, log_bp = self._prep_batch(log_probs, input_lengths)
+        t_prep = _time.perf_counter()
         B = lp_np.shape[0]
         lp = jnp.asarray(lp_np)
         single = self._make_state()
@@ -754,7 +763,21 @@ class DeviceLexiconBeamSearch:
             sum_mode=bool(cfg.sum_mode),
         )
         final = self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
-        return self._extract_results(final, recs, nbest)
+        if timing:
+            _sync = float(np.asarray(final[0][0, 0, 0]))
+            t_scan = _time.perf_counter()
+        final = tuple(np.asarray(x) for x in final)
+        recs = (np.asarray(recs[0]), None, np.asarray(recs[2]))
+        if timing:
+            t_fetch = _time.perf_counter()
+        out = self._extract_results(final, recs, nbest)
+        if timing:
+            t_ex = _time.perf_counter()
+            print(f"decode_batch timing: prep={t_prep - t0:.2f}s "
+                  f"scan+finalize={t_scan - t_prep:.2f}s "
+                  f"fetch={t_fetch - t_scan:.2f}s "
+                  f"extract={t_ex - t_fetch:.2f}s", flush=True)
+        return out
 
     def _prep_batch(self, log_probs, input_lengths):
         """Host-side batch prep shared by the plain and sharded decodes:
