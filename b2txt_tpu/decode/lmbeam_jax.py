@@ -118,7 +118,7 @@ class TrieArrays:
     next: jax.Array       # (n_nodes, V) int32
     words_at: jax.Array   # (n_nodes, H) int32, -1 padded
     node_pack: jax.Array  # (n_nodes, 2H+1) int32
-    next_pack: jax.Array  # (n_nodes, 2V) int32
+    next_la2: jax.Array   # (n_nodes, V, 2) int32: [child, la_child_bits]
     n_dropped: int
 
     @classmethod
@@ -149,14 +149,14 @@ class TrieArrays:
             axis=1,
         ).astype(np.int32)
         la_child = la32[np.clip(lexicon.next, 0, None)]
-        next_pack = np.concatenate(
-            [lexicon.next, la_child.view(np.int32)], axis=1
+        next_la2 = np.stack(
+            [lexicon.next, la_child.view(np.int32)], axis=2
         ).astype(np.int32)
         return cls(
             next=jnp.asarray(lexicon.next),
             words_at=jnp.asarray(words_at),
             node_pack=jnp.asarray(node_pack),
-            next_pack=jnp.asarray(next_pack),
+            next_la2=jnp.asarray(next_la2),
             n_dropped=dropped,
         )
 
@@ -368,9 +368,6 @@ class DeviceLexiconBeamSearch:
         wids = nrow[:, :H]                                    # (K, H)
         uni_w = jax.lax.bitcast_convert_type(nrow[:, H:H2], jnp.float32)
         la_node = jax.lax.bitcast_convert_type(nrow[:, H2], jnp.float32)
-        xrow = self.trie.next_pack[state.node]                # (K, 2V)
-        child_all = xrow[:, :V]
-        la_all = jax.lax.bitcast_convert_type(xrow[:, V:], jnp.float32)
 
         # ---- 2. extend with phone c (non-blank, non-SIL)
         if first_beam is not None and first_beam < V - 2:
@@ -381,25 +378,20 @@ class DeviceLexiconBeamSearch:
             FB = first_beam
             c = jnp.broadcast_to(c_fb[None, :], (K, FB)).astype(jnp.int32)
             lp_ext = jnp.broadcast_to(lp_fb[None, :], (K, FB))
-            # column select via masked sum on the VPU: minor-dim
-            # take_along_axis costs ~28 ns per selected element on the v5e
-            # (the per-index gather charge), and an MXU one-hot matmul runs
-            # bf16 by default on TPU (mangles node ids!). where+sum against
-            # a one-hot mask is exact in both int32 and f32 and fuses to a
-            # cheap (K, FB, V) elementwise reduce.
-            sel = c_fb[None, :, None] == jnp.arange(V)[None, None, :]
-            child = jnp.sum(
-                jnp.where(sel, child_all[:, None, :], 0), axis=-1
-            )                                                  # (K, FB)
-            la_child = jnp.sum(
-                jnp.where(sel, la_all[:, None, :], 0.0), axis=-1
-            )
+            # ONE paired-row gather [(child, la_bits)] per (beam, phone):
+            # an 8-byte row gather costs the same ~30 ns as a scalar gather
+            # on the v5e (cost is per gathered ROW), it is exact (unlike an
+            # MXU one-hot matmul, bf16 by default — mangles node ids), and
+            # it avoids minor-dim selects (~28 ns/element) and broadcast
+            # one-hot reduces (measured 28x slower — lane-axis reductions).
+            pair = self.trie.next_la2[state.node[:, None], c]  # (K, FB, 2)
         else:
             FB = V
             c = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (K, V))
             lp_ext = jnp.broadcast_to(lp[None, :], (K, V))
-            child = child_all
-            la_child = la_all
+            pair = self.trie.next_la2[state.node]              # (K, V, 2)
+        child = pair[..., 0]
+        la_child = jax.lax.bitcast_convert_type(pair[..., 1], jnp.float32)
         is_rep = c == state.last[:, None]
         base = jnp.where(is_rep, state.s[:, None], score[:, None])
         ac_base = jnp.where(is_rep, state.ac_s[:, None], ac[:, None])

@@ -193,8 +193,11 @@ def forward(
     if use_pallas is None:
         # Auto mode: kernel on real TPU for batched work. Tiny batches stay
         # on the XLA scan — Mosaic cannot slice the kernel's (2, B, 3H) bf16
-        # double buffer when B is below a sublane tile (streaming runs B=1).
-        use_pallas = default_use_pallas() and B >= 16
+        # double buffer when B is below a sublane tile (streaming runs B=1) —
+        # and very large batches overflow the ~16 MB VMEM scoped allocation
+        # (W_hh^T 3.5 MB + double buffers scale with B; B=256 measured 16.1 MB
+        # on the VJP path). 16 <= B <= 128 is the kernel's profitable window.
+        use_pallas = default_use_pallas() and 16 <= B <= 128
 
     if not skip_day_layer:
         # Day-specific affine + softsign (rnn_model.py:94-99).

@@ -35,16 +35,17 @@ from b2txt_tpu.utils import TrainConfig  # noqa: E402
 
 
 def timeit(fn, *args, iters=20, reps=3):
+    """fn must return a SCALAR (or tiny) array — through the axon tunnel,
+    fetching one element of a big device array can transfer the whole
+    buffer, so syncing on param trees pollutes the timing by seconds."""
     r = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: np.asarray(x).ravel()[:1], r
-    )  # sync via fetch
+    float(np.asarray(jax.tree_util.tree_leaves(r)[-1]).ravel()[0])
     best = 1e30
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             r = fn(*args)
-        jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], r)
+        float(np.asarray(jax.tree_util.tree_leaves(r)[-1]).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -97,22 +98,40 @@ def main():
         )
 
         @jax.jit
-        def full_step(params, opt_state, k, B=B):
-            feats, labels = batch_for(B, k)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, k, feats, labels, B, use_pallas_default
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return jax.tree_util.tree_map(lambda p, u: p + u, params, updates
-                                          ), opt_state, loss
+        def steps_chained(params, opt_state, k, B=B, n=10):
+            """n chained steps in ONE device call: each step consumes the
+            previous params, so nothing can overlap away, and only the final
+            scalar loss is fetched (tunnel-safe sync)."""
 
-        ms = timeit(lambda: full_step(params, opt_state, jax.random.PRNGKey(1)),
-                    iters=10)
-        report(f"full_step_B{B}", ms, {
-            "steps_per_sec": round(1 / ms, 2),
-            "sentences_per_sec": round(B / ms, 1),
-            "mfu_pct": round(100 * flops / ms / 197e12, 1),
-        })
+            def body(carry, i):
+                params, opt_state = carry
+                kk = jax.random.fold_in(k, i)
+                feats, labels = batch_for(B, kk)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, kk, feats, labels, B, None
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n)
+            )
+            return losses[-1]
+
+        try:
+            ms = timeit(lambda: steps_chained(params, opt_state,
+                                              jax.random.PRNGKey(1)),
+                        iters=1, reps=3) / 10.0
+            report(f"full_step_B{B}", ms, {
+                "steps_per_sec": round(1 / ms, 2),
+                "sentences_per_sec": round(B / ms, 1),
+                "mfu_pct": round(100 * flops / ms / 197e12, 1),
+            })
+        except Exception as e:
+            print(f"full_step_B{B} failed: {type(e).__name__}", flush=True)
 
     B = 64
     feats, labels = (np.random.default_rng(0).standard_normal(
