@@ -772,26 +772,44 @@ class DeviceLexiconBeamSearch:
         return out
 
     def _prep_batch(self, log_probs, input_lengths):
-        """Host-side batch prep shared by the plain and sharded decodes:
-        blank-skip frame compaction + T bucketing (static scan shapes)."""
+        """Batch prep shared by the plain and sharded decodes: blank-skip
+        frame compaction + T bucketing (static scan shapes).
+
+        When the blank penalty alone makes the skip threshold unreachable —
+        exp(lp_blank − log(penalty)) ≤ 1/penalty < threshold, the CANONICAL
+        production regime (penalty 90, threshold 0.98; see DESIGN.md on the
+        reference's latent blank-skip) — compaction is provably a no-op and
+        the input never round-trips to the host: a device-resident logits
+        array (e.g. straight from the RNN forward) stays on device."""
         cfg = self.config
-        lp_np = np.asarray(log_probs, np.float32)
-        B, T, V = lp_np.shape
+        B, T, V = log_probs.shape
         if input_lengths is None:
             input_lengths = np.full((B,), T, np.int32)
         log_bp = float(math.log(cfg.blank_penalty))
-        if cfg.ctc_blank_skip_threshold < 1.0:
+        thresh = float(cfg.ctc_blank_skip_threshold)
+        skip_possible = thresh < 1.0 and (1.0 / cfg.blank_penalty) > thresh
+        if thresh < 1.0 and skip_possible:
+            lp_np = np.asarray(log_probs, np.float32)
             lp_np, input_lengths = compact_blank_skip(
                 lp_np, np.asarray(input_lengths),
-                self.blank, float(cfg.ctc_blank_skip_threshold), log_bp,
+                self.blank, thresh, log_bp,
             )
             log_bp = 0.0  # penalty already applied during compaction
+        else:
+            lp_np = log_probs  # device array stays device-resident
         # bucket T to limit scan recompiles across varying utterance lengths
-        T_pad = max(32, -(-lp_np.shape[1] // 32) * 32)
-        if T_pad != lp_np.shape[1]:
-            pad = np.full((B, T_pad - lp_np.shape[1], V), -30.0, np.float32)
-            pad[:, :, self.blank] = 0.0
-            lp_np = np.concatenate([lp_np, pad], axis=1)
+        T_cur = lp_np.shape[1]
+        T_pad = max(32, -(-T_cur // 32) * 32)
+        if T_pad != T_cur:
+            if isinstance(lp_np, np.ndarray):
+                pad = np.full((B, T_pad - T_cur, V), -30.0, np.float32)
+                pad[:, :, self.blank] = 0.0
+                lp_np = np.concatenate([lp_np, pad], axis=1)
+            else:
+                pad = jnp.full((B, T_pad - T_cur, V), -30.0, jnp.float32)
+                pad = pad.at[:, :, self.blank].set(0.0)
+                lp_np = jnp.concatenate([lp_np.astype(jnp.float32), pad],
+                                        axis=1)
         return lp_np, np.asarray(input_lengths, np.int32), log_bp
 
     def _extract_results(self, final, recs, nbest):

@@ -124,8 +124,53 @@ def main() -> None:
         lm_lat.append(time.perf_counter() - t0)
     lm_ms = 1000 * np.asarray(lm_lat)
 
+    # fully device-resident hop: GRU step + device beam-search expand chained
+    # in ONE scan — the amortized per-hop number isolates ON-CHIP work from
+    # the axon tunnel RTT (a jax.profiler trace is unreliable through the
+    # tunnel; N-in-one-call division is the device-side measurement).
+    import math
+
+    from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
+
+    dcfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=5,
+                        beam_width=96, first_beam_size=8, sum_mode=False)
+    dev = DeviceLexiconBeamSearch(lexicon, lm, dcfg)
+    bstate = dev._make_state()
+    log_bp = float(math.log(dcfg.blank_penalty))
+
+    @jax.jit
+    def device_hop_many(params, h, bstate, windows, day_idx):
+        def body(carry, w):
+            h, st = carry
+            lg, h2 = gru_decoder.forward(
+                params, w[None], day_idx, states=h, return_state=True,
+                patch_size=PATCH, patch_stride=STRIDE,
+                compute_dtype=jnp.bfloat16,
+            )
+            lp = jax.nn.log_softmax(lg[0, 0].astype(jnp.float32))
+            lp = lp.at[0].add(-log_bp)
+            st2, _, _, _ = dev._expand(
+                st, lp, float(dcfg.acoustic_scale),
+                float(dcfg.length_penalty), dcfg.first_beam_size, False,
+            )
+            return (h2, st2), lp[0]
+
+        (h, st), out = jax.lax.scan(body, (h, bstate), windows)
+        return out.sum(), h, st
+
+    Nh = 128
+    ws_h = jnp.asarray(rng.standard_normal((Nh, PATCH, D)), jnp.float32)
+    float(np.asarray(device_hop_many(params, h0, bstate, ws_h, day_idx)[0]))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        float(np.asarray(device_hop_many(params, h0, bstate, ws_h, day_idx)[0]))
+    device_hop_us = 1e6 * (time.perf_counter() - t0) / (4 * Nh)
+
     hop_ms = STRIDE * 20.0
     print(f"online hop: {hop_ms:.0f} ms of neural data per update")
+    print(f"fully device-resident hop (GRU step + device LM expand, "
+          f"on-chip amortized): {device_hop_us:.1f} us/update "
+          f"({0.1 * device_hop_us / hop_ms:.2f}% of the real-time budget)")
     print(f"model update latency: median {np.median(lat_ms):.2f} ms, "
           f"p90 {np.percentile(lat_ms, 90):.2f} ms (incl. remote-TPU round trip)")
     print(f"model device step, amortized: {amortized_us:.1f} us/update")
