@@ -93,7 +93,7 @@ def main():
 
     use_pallas_default = jax.default_backend() == "tpu"
     for B in (64, 128, 256):
-        flops = 2 * 3 * B * (  # fwd+bwd(2x) matmul FLOPs, T'=125
+        flops = 3 * B * (  # fwd (1x) + bwd (2x) matmul FLOPs, T'=125
             125 * (7168 + 4 * 768 + 768 * 5) * 2304 * 2 + 125 * 768 * 41 * 2
         )
 
