@@ -771,6 +771,47 @@ class DeviceLexiconBeamSearch:
                   f"extract={t_ex - t_fetch:.2f}s", flush=True)
         return out
 
+    def _dispatch_batch(self, log_probs, input_lengths):
+        """Issue the device scan + finalize WITHOUT fetching (JAX dispatch is
+        async — the arrays materialize on device while the host does other
+        work). Pair with _collect_batch."""
+        cfg = self.config
+        lp_np, input_lengths, log_bp = self._prep_batch(log_probs, input_lengths)
+        B = lp_np.shape[0]
+        single = self._make_state()
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
+        )
+        state, recs = self._batch_scan(
+            state, jnp.asarray(lp_np), jnp.asarray(input_lengths, jnp.int32),
+            scale=float(cfg.acoustic_scale),
+            length_penalty=float(cfg.length_penalty),
+            log_blank_penalty=log_bp,
+            first_beam=cfg.first_beam_size or None,
+            sum_mode=bool(cfg.sum_mode),
+        )
+        final = self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
+        return final, recs
+
+    def _collect_batch(self, handle, nbest=None):
+        final, recs = handle
+        return self._extract_results(final, recs, nbest)
+
+    def decode_batches(self, batches, nbest=None):
+        """Software-pipelined decode over [(log_probs, lengths), ...]: the
+        next batch's device scan is dispatched BEFORE the previous batch's
+        outputs are fetched and extracted, hiding the host-side n-best work
+        (measured ~25% of wall at 125k/B=128) under device compute. Yields
+        per-batch result lists in order."""
+        pending = None
+        for item in batches:
+            handle = self._dispatch_batch(item[0], item[1])
+            if pending is not None:
+                yield self._collect_batch(pending, nbest)
+            pending = handle
+        if pending is not None:
+            yield self._collect_batch(pending, nbest)
+
     def _prep_batch(self, log_probs, input_lengths):
         """Batch prep shared by the plain and sharded decodes: blank-skip
         frame compaction + T bucketing (static scan shapes).

@@ -281,8 +281,10 @@ def main() -> None:
     dev_compile_s = time.perf_counter() - t0
     dev_results = []
     t0 = time.perf_counter()
-    for arr, lens, chunk in batches:
-        dev_results.extend(dev.decode_batch(arr, lens)[: len(chunk)])
+    for (arr, lens, chunk), res in zip(
+        batches, dev.decode_batches([(a, l) for a, l, _ in batches])
+    ):
+        dev_results.extend(res[: len(chunk)])
     device_rate = len(utts) / (time.perf_counter() - t0)
     dev_correct, dev_serr = score_results(cfg, utts, dev_results)
 
@@ -293,11 +295,17 @@ def main() -> None:
                                               S=max(1, B // 64))
     np.asarray(run_pipe(params, jax.random.PRNGKey(199)))  # compile
     n_pipe = 0
+    pending = None
     t0 = time.perf_counter()
     for j, (arr, lens, chunk) in enumerate(batches):
         np.asarray(run_pipe(params, jax.random.PRNGKey(200 + j)))
-        dev.decode_batch(arr, lens)
+        handle = dev._dispatch_batch(arr, lens)
+        if pending is not None:
+            dev._collect_batch(pending)
+        pending = handle
         n_pipe += len(chunk)
+    if pending is not None:
+        dev._collect_batch(pending)
     device_pipeline = n_pipe / (time.perf_counter() - t0)
 
     headline = max(device_pipeline, host_overlapped)

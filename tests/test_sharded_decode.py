@@ -101,3 +101,16 @@ def test_uneven_batch_rejected(world):
     mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
     with pytest.raises(ValueError):
         dev.sharded_decode_batch(arr[:6], lens[:6], mesh=mesh, axis="data")
+
+
+def test_pipelined_decode_batches_matches(world):
+    """decode_batches (software-pipelined dispatch/collect) == decode_batch."""
+    dev, arr, lens, sents = world
+    ref = dev.decode_batch(arr, lens)
+    half = arr.shape[0] // 2
+    got = []
+    for res in dev.decode_batches(
+        [(arr[:half], lens[:half]), (arr[half:], lens[half:])]
+    ):
+        got.extend(res)
+    assert [g[0].sentence for g in got] == [r[0].sentence for r in ref]
