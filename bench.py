@@ -57,7 +57,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_SENTENCES_PER_SEC = 1450 / (17.5 * 60)  # mid of the 15–20 min window
 
 
-def make_rnn_chunk(B=64, T=400, S=4):
+def make_rnn_chunk(B=64, T=400, S=8):
     """Jitted full-size RNN stage: S batches of B sentences per device call,
     inputs generated on device (the axon tunnel stays out of the number)."""
     import jax.numpy as jnp

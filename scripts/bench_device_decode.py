@@ -170,8 +170,11 @@ def main() -> None:
         correct = 0
         n_done = 0
         t0 = time.time()
-        for arr, lens, sents in batches:
-            res = dev.decode_batch(arr, lens)
+        # software-pipelined: batch j+1's scan dispatches before batch j's
+        # host-side fetch/extract (decode_batches)
+        for (arr, lens, sents), res in zip(
+            batches, dev.decode_batches([(a, l) for a, l, _ in batches])
+        ):
             for s, r in zip(sents, res):
                 correct += bool(r) and r[0].sentence == s
                 n_done += 1
