@@ -130,11 +130,14 @@ class TrieArrays:
         uni_logp: np.ndarray,
     ) -> "TrieArrays":
         n_nodes = lexicon.n_nodes
-        H = max_homophones
+        counts = np.diff(lexicon.word_offsets).astype(np.int64)
+        # cap H at the lexicon's LARGEST homophone class: probing empty
+        # homophone slots costs real gather rows every frame, and results
+        # are identical whenever the cap covers the actual maximum
+        H = max(1, min(max_homophones, int(counts.max(initial=1))))
         # vectorized CSR → (n_nodes, H) scatter (a python per-node loop costs
         # minutes at the 125k-word scale)
         words_at = np.full((n_nodes, H), -1, np.int32)
-        counts = np.diff(lexicon.word_offsets).astype(np.int64)
         node_of = np.repeat(np.arange(n_nodes, dtype=np.int64), counts)
         pos = (np.arange(len(lexicon.word_list), dtype=np.int64)
                - np.repeat(lexicon.word_offsets[:-1].astype(np.int64), counts))
@@ -276,6 +279,8 @@ class DeviceLexiconBeamSearch:
         self.trie = TrieArrays.build(
             lexicon, max_homophones, la_np, np.asarray(self.dev_lm.uni_logp)
         )
+        # TrieArrays caps H at the lexicon's largest homophone class
+        self.H = self.trie.words_at.shape[1]
         self.order = self.dev_lm.order
         self._scan = self._build_scan()
         self._finalize_fn, self._finalize_batch = self._build_finalize()
