@@ -31,7 +31,8 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_world(vocab_size: int, order: int, seed: int = 0):
+def build_world(vocab_size: int, order: int, seed: int = 0,
+                adversarial: bool = False):
     import tempfile
 
     from b2txt_tpu.lm import Lexicon
@@ -40,14 +41,26 @@ def build_world(vocab_size: int, order: int, seed: int = 0):
     from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
 
     rng = np.random.default_rng(seed)
-    phones = LOGIT_TO_PHONEME[1:40]
-    words = {}
-    while len(words) < vocab_size:
-        L = rng.integers(3, 10)  # CMUdict-like lengths (see bench.build_world)
-        pron = [phones[i] for i in rng.integers(0, 39, L)]
-        words["w" + "".join(p.lower() for p in pron)] = pron
-    lex = Lexicon.from_words(words)
-    wl = list(words.keys())
+    if adversarial:
+        # CMUdict collision statistics: homophone classes to 6, prefix
+        # words, Zipf-ranked shortness (data/adversarial.py)
+        from b2txt_tpu.data.adversarial import (
+            homophone_lexicon, lexicon_stats,
+        )
+
+        words, by_freq = homophone_lexicon(rng, vocab_size)
+        print(json.dumps(lexicon_stats(words)), flush=True)
+        lex = Lexicon.from_words(words)
+        wl = by_freq
+    else:
+        phones = LOGIT_TO_PHONEME[1:40]
+        words = {}
+        while len(words) < vocab_size:
+            L = rng.integers(3, 10)  # CMUdict-like lengths (see bench.build_world)
+            pron = [phones[i] for i in rng.integers(0, 39, L)]
+            words["w" + "".join(p.lower() for p in pron)] = pron
+        lex = Lexicon.from_words(words)
+        wl = list(words.keys())
     tmp = tempfile.mkdtemp()
     corpus_path = os.path.join(tmp, "corpus.txt")
     n_sents = max(3000, vocab_size // 10)
@@ -96,12 +109,17 @@ def main() -> None:
                    help="Kaldi-style max path merge (sum_mode=False)")
     p.add_argument("--skip_native", action="store_true")
     p.add_argument("--skip_device", action="store_true")
+    p.add_argument("--adversarial", action="store_true",
+                   help="homophone-dense CMUdict-statistics lexicon + "
+                        "Zipfian sentences (data/adversarial.py)")
+    p.add_argument("--max_homophones", type=int, default=6)
     args = p.parse_args()
 
     from b2txt_tpu.utils.config import DecodeConfig
 
     t0 = time.time()
-    lex, lm, wl, arpa, lexp, rng = build_world(args.vocab, args.order)
+    lex, lm, wl, arpa, lexp, rng = build_world(
+        args.vocab, args.order, adversarial=args.adversarial)
     print(f"world built in {time.time() - t0:.1f}s "
           f"(vocab {args.vocab}, trie nodes {lex.n_nodes})", flush=True)
     utts = make_utts(lex, wl, rng, args.utts)
@@ -118,6 +136,7 @@ def main() -> None:
            "first_beam": args.first_beam, "skip": args.skip,
            "merge": "viterbi" if args.viterbi else "logsum",
            "blank_penalty": args.blank_penalty,
+           "world": "adversarial" if args.adversarial else "uniform",
            "mean_frames": round(float(mean_T), 1),
            "backend": jax.default_backend()}
 
@@ -126,7 +145,8 @@ def main() -> None:
         from b2txt_tpu.runtime import NativeLexiconBeamSearch
 
         t0 = time.time()
-        dec = NativeLexiconBeamSearch(arpa, lexp, cfg)
+        dec = NativeLexiconBeamSearch(arpa, lexp, cfg,
+                                      max_homophones=args.max_homophones)
         out["native_load_s"] = round(time.time() - t0, 2)
         correct = 0
         t0 = time.time()
@@ -145,7 +165,8 @@ def main() -> None:
         from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
 
         t0 = time.time()
-        dev = DeviceLexiconBeamSearch(lex, lm, cfg)
+        dev = DeviceLexiconBeamSearch(
+            lex, lm, cfg, max_homophones=args.max_homophones)
         out["device_build_s"] = round(time.time() - t0, 2)
 
         B = args.batch
