@@ -277,7 +277,8 @@ class DecoderService:
             x = logits - logits.max(axis=-1, keepdims=True)
             prepped.append(x - np.log(np.exp(x).sum(-1, keepdims=True)))
 
-        outs: List[FinalOutput] = []
+        sizes = []
+        batches = []
         for start in range(0, len(prepped), batch_size):
             chunk = prepped[start : start + batch_size]
             n = len(chunk)
@@ -288,6 +289,16 @@ class DecoderService:
             for i, p in enumerate(chunk):
                 lp[i, : p.shape[0]] = p
                 lengths[i] = p.shape[0]
-            nbest_lists = searcher.decode_batch(lp, lengths)
-            outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
+            batches.append((lp, lengths))
+            sizes.append(n)
+        outs: List[FinalOutput] = []
+        if hasattr(searcher, "decode_batches"):
+            # software-pipelined: batch j+1's device scan overlaps batch j's
+            # host-side n-best extraction
+            for n, nbest_lists in zip(sizes, searcher.decode_batches(batches)):
+                outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
+        else:
+            for n, (lp, lengths) in zip(sizes, batches):
+                nbest_lists = searcher.decode_batch(lp, lengths)
+                outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
         return outs

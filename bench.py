@@ -193,7 +193,7 @@ def main() -> None:
     p.add_argument("--order", type=int, default=3, choices=[2, 3, 4, 5])
     p.add_argument("--vocab", type=int, default=125_000)
     p.add_argument("--utts", type=int, default=512)
-    p.add_argument("--device_batch", type=int, default=256)
+    p.add_argument("--device_batch", type=int, default=128)
     args = p.parse_args()
 
     from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
