@@ -223,6 +223,7 @@ class DeviceNGram:
     uni_logp: jax.Array   # (n_words+3,) f32, MISSING if absent
     uni_bow: jax.Array    # (n_words+3,) f32, 0 if absent
     unk_logp: float
+    n_entries: int = 0    # total packed n-grams (all orders), set at build
 
     @property
     def bos_id(self) -> int:
@@ -350,9 +351,10 @@ class DeviceNGram:
             hi_h1[:n_filled], hi_h2[:n_filled],
             hi_v[:n_filled], hi_b[:n_filled],
         )
+        n_uni = int(np.count_nonzero(uni_logp > MISSING / 2))
         return cls(order=order, n_words=n_words, table=table.as_device(),
                    uni_logp=jnp.asarray(uni_logp), uni_bow=jnp.asarray(uni_bow),
-                   unk_logp=float(unk_logp))
+                   unk_logp=float(unk_logp), n_entries=n_filled + n_uni)
 
     @classmethod
     def build(cls, lm: NGramLM, lexicon: Lexicon) -> "DeviceNGram":
@@ -380,10 +382,11 @@ class DeviceNGram:
                     continue  # word not in decode lexicon
                 packed[ids] = (logp, bow)
         unk = lm.tables[0].get((UNK,), (-23.0, 0.0))[0]
+        n_uni = int(np.count_nonzero(uni_logp > MISSING / 2))
         return cls(order=lm.order, n_words=n_words,
                    table=BucketTable.build(packed).as_device(),
                    uni_logp=jnp.asarray(uni_logp), uni_bow=jnp.asarray(uni_bow),
-                   unk_logp=float(unk))
+                   unk_logp=float(unk), n_entries=len(packed) + n_uni)
 
     def context_hashes(self, context: jax.Array):
         """Hash pairs of each context suffix, longest first (length order−1

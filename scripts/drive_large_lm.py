@@ -98,6 +98,8 @@ def main() -> None:
                    help="also load into DeviceNGram (HBM tables) and decode "
                         "through DeviceLexiconBeamSearch on the chip")
     p.add_argument("--skip_native", action="store_true")
+    p.add_argument("--reuse_arpa", action="store_true",
+                   help="reuse an existing --arpa file from a prior --keep run")
     args = p.parse_args()
 
     from b2txt_tpu.runtime import NativeLexiconBeamSearch
@@ -110,7 +112,10 @@ def main() -> None:
     hi = args.order - 2  # number of sections above 2-grams
     counts = [n2] + [(rest - n2) // hi] * hi if hi else [rest]
     counts[-1] += rest - sum(counts)
-    n_total = write_arpa(args.arpa, args.vocab, counts)
+    if args.reuse_arpa and os.path.exists(args.arpa):
+        print(f"reusing {args.arpa}", flush=True)
+    else:
+        write_arpa(args.arpa, args.vocab, counts)
 
     # lexicon: random unique pronunciations for the full vocab
     rng = np.random.default_rng(1)
@@ -196,9 +201,8 @@ def main() -> None:
         tab, cap = dev_lm.table
         hbm = tab.size * 4 + dev_lm.uni_logp.size * 8
         load_s = time.time() - t0
-        n_dev = int(np.count_nonzero(
-            np.asarray(tab).reshape(-1, 4)[:, 0] | np.asarray(tab).reshape(-1, 4)[:, 1]
-        )) + int(np.count_nonzero(np.asarray(dev_lm.uni_logp) > -1e8))
+        n_dev = dev_lm.n_entries  # counted at build — never fetch the
+        # multi-GB table back through the tunnel just to count it
         print(f"device LM: {n_dev:,} entries streamed+packed in {load_s:.0f}s; "
               f"HBM {hbm / 1e9:.2f} GB = {hbm / max(n_dev, 1):.1f} B/entry "
               f"(lexicon {lex_s:.0f}s)", flush=True)
