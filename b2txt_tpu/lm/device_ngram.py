@@ -128,13 +128,21 @@ class BucketTable:
             values, backoffs = values[keep], backoffs[keep]
 
         n = max(len(h1), 1)
+        # bucket capacity adapts to scale: 16 slots (256 B rows) for small
+        # tables; 32 slots (512 B rows, same ~30 ns/row gather charge) once
+        # tens of millions of entries make the Poisson tail of a 16-slot
+        # bucket non-negligible — at mean 8 of capacity 32 the overflow
+        # probability is ~1e-15/bucket, so memory stays a deterministic
+        # 64 B/entry instead of doubling on one hot bucket (observed at the
+        # 100M-entry drive: 8.6 → 17.2 GB from a single overflow).
+        cap = BUCKET_CAP if n < 8_000_000 else 2 * BUCKET_CAP
         n_buckets = 1
-        while n_buckets * TARGET_MEAN < n:
+        while n_buckets * (cap // 4) < n:
             n_buckets *= 2
         while True:
             bucket = (h1 & np.uint32(n_buckets - 1)).astype(np.int64)
             counts = np.bincount(bucket, minlength=n_buckets)
-            if counts.max(initial=0) <= BUCKET_CAP:
+            if counts.max(initial=0) <= cap:
                 break
             n_buckets *= 2  # Poisson-tail overflow: relax the load factor
 
@@ -143,14 +151,14 @@ class BucketTable:
         starts = np.zeros(n_buckets, np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         pos = np.arange(len(h1), dtype=np.int64) - starts[sorted_b]
-        slot = sorted_b * BUCKET_CAP + pos
+        slot = sorted_b * cap + pos
 
-        flat = np.zeros((n_buckets * BUCKET_CAP, 4), np.int32)
+        flat = np.zeros((n_buckets * cap, 4), np.int32)
         flat[slot, 0] = h1[order].view(np.int32)
         flat[slot, 1] = h2[order].view(np.int32)
         flat[slot, 2] = values[order].astype(np.float32).view(np.int32)
         flat[slot, 3] = backoffs[order].astype(np.float32).view(np.int32)
-        return cls(flat.reshape(n_buckets, BUCKET_CAP * 4))
+        return cls(flat.reshape(n_buckets, cap * 4))
 
     @classmethod
     def build(
@@ -170,7 +178,8 @@ class BucketTable:
         return cls.build_arrays(h1, h2, v, b)
 
     def as_device(self):
-        return jnp.asarray(self.packed), BUCKET_CAP
+        cap = self.packed.shape[1] // 4
+        return jnp.asarray(self.packed), cap
 
 
 def _lookup(table, h1, h2, not_found: float):
