@@ -568,9 +568,11 @@ class DeviceLexiconBeamSearch:
                                                      "log_blank_penalty",
                                                      "blank_skip_thresh",
                                                      "first_beam", "sum_mode"))
-        def scan_chunk(state, lp_chunk, scale: float, length_penalty: float,
+        def scan_chunk(table, state, lp_chunk, scale: float,
+                       length_penalty: float,
                        log_blank_penalty: float, blank_skip_thresh: float,
                        first_beam=None, sum_mode: bool = True):
+            self.dev_lm.bind_table(table)
             if log_blank_penalty != 0.0:
                 lp_chunk = lp_chunk.at[:, self.blank].add(-log_blank_penalty)
 
@@ -615,7 +617,10 @@ class DeviceLexiconBeamSearch:
                 return new_state, (parents, syms, words)
 
             xs = (lp_chunk, skip, reinsert) if use_skip else (lp_chunk,)
-            state, recs = jax.lax.scan(step, state, xs)
+            try:
+                state, recs = jax.lax.scan(step, state, xs)
+            finally:
+                self.dev_lm.unbind_table()
             return state, recs
 
         return scan_chunk
@@ -667,9 +672,24 @@ class DeviceLexiconBeamSearch:
             return jax.vmap(lambda s: finalize(s, sum_mode))(state)
 
         self._finalize_impl = finalize_batch  # unjitted, for the sharded path
+
+        def finalize_bound(table, state, sum_mode=True):
+            self.dev_lm.bind_table(table)
+            try:
+                return finalize(state, sum_mode)
+            finally:
+                self.dev_lm.unbind_table()
+
+        def finalize_batch_bound(table, state, sum_mode=True):
+            self.dev_lm.bind_table(table)
+            try:
+                return finalize_batch(state, sum_mode)
+            finally:
+                self.dev_lm.unbind_table()
+
         return (
-            jax.jit(finalize, static_argnames=("sum_mode",)),
-            jax.jit(finalize_batch, static_argnames=("sum_mode",)),
+            jax.jit(finalize_bound, static_argnames=("sum_mode",)),
+            jax.jit(finalize_batch_bound, static_argnames=("sum_mode",)),
         )
 
     def _build_batch_scan(self):
@@ -719,8 +739,22 @@ class DeviceLexiconBeamSearch:
             return state, recs
 
         self._scan_impl = scan_batch_impl  # unjitted, for the sharded path
+
+        def scan_batch_bound(table, state, lp_btv, lengths, scale,
+                             length_penalty, log_blank_penalty,
+                             first_beam=None, sum_mode=True):
+            # the LM table is a jit ARGUMENT (multi-GB closure constants hang
+            # the remote compiler); bound onto dev_lm while tracing
+            self.dev_lm.bind_table(table)
+            try:
+                return scan_batch_impl(state, lp_btv, lengths, scale,
+                                       length_penalty, log_blank_penalty,
+                                       first_beam, sum_mode)
+            finally:
+                self.dev_lm.unbind_table()
+
         return jax.jit(
-            scan_batch_impl,
+            scan_batch_bound,
             static_argnames=("scale", "length_penalty", "log_blank_penalty",
                              "first_beam", "sum_mode"),
         )
@@ -752,14 +786,16 @@ class DeviceLexiconBeamSearch:
             lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
         )
         state, recs = self._batch_scan(
-            state, lp, jnp.asarray(input_lengths, jnp.int32),
+            self.dev_lm.table[0], state, lp,
+            jnp.asarray(input_lengths, jnp.int32),
             scale=float(cfg.acoustic_scale),
             length_penalty=float(cfg.length_penalty),
             log_blank_penalty=log_bp,
             first_beam=cfg.first_beam_size or None,
             sum_mode=bool(cfg.sum_mode),
         )
-        final = self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
+        final = self._finalize_batch(self.dev_lm.table[0], state,
+                             sum_mode=bool(cfg.sum_mode))
         if timing:
             _sync = float(np.asarray(final[0][0, 0, 0]))
             t_scan = _time.perf_counter()
@@ -788,14 +824,16 @@ class DeviceLexiconBeamSearch:
             lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
         )
         state, recs = self._batch_scan(
-            state, jnp.asarray(lp_np), jnp.asarray(input_lengths, jnp.int32),
+            self.dev_lm.table[0], state, jnp.asarray(lp_np),
+            jnp.asarray(input_lengths, jnp.int32),
             scale=float(cfg.acoustic_scale),
             length_penalty=float(cfg.length_penalty),
             log_blank_penalty=log_bp,
             first_beam=cfg.first_beam_size or None,
             sum_mode=bool(cfg.sum_mode),
         )
-        final = self._finalize_batch(state, sum_mode=bool(cfg.sum_mode))
+        final = self._finalize_batch(self.dev_lm.table[0], state,
+                             sum_mode=bool(cfg.sum_mode))
         return final, recs
 
     def _collect_batch(self, handle, nbest=None):
@@ -1011,7 +1049,7 @@ class DeviceLexiconBeamSearch:
         cfg = self.config
         lp = jnp.asarray(log_probs, jnp.float32)
         self.state, recs = self._scan(
-            self.state, lp,
+            self.dev_lm.table[0], self.state, lp,
             scale=float(cfg.acoustic_scale),
             length_penalty=float(cfg.length_penalty),
             log_blank_penalty=float(math.log(cfg.blank_penalty)),
@@ -1042,7 +1080,8 @@ class DeviceLexiconBeamSearch:
         cfg = self.config
         scores, fwords, lms, acs = (
             np.asarray(x)
-            for x in self._finalize_fn(self.state, sum_mode=bool(cfg.sum_mode))
+            for x in self._finalize_fn(self.dev_lm.table[0], self.state,
+                                       sum_mode=bool(cfg.sum_mode))
         )
         flat = scores.reshape(-1)
         order = np.argsort(-flat)

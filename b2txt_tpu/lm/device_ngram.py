@@ -413,10 +413,22 @@ class DeviceNGram:
             ctxs.append((h1, h2))
         return ctxs
 
+    def bind_table(self, packed: jax.Array) -> None:
+        """Bind a TRACER as the probe table while tracing a jitted function
+        that takes the table as an argument — multi-GB tables must be jit
+        ARGUMENTS, not closure constants (an 8.6 GB captured constant hung
+        the remote compile service at the 100M-entry drive)."""
+        self._bound_table = (packed, self.table[1])
+
+    def unbind_table(self) -> None:
+        self._bound_table = None
+
     def _lookup(self, h1, h2, not_found: float):
         """Probe entry point — ShardedNGram overrides this with the
         collective (all_gather + masked local gather + psum) version."""
-        return _lookup(self.table, h1, h2, not_found)
+        tab = getattr(self, "_bound_table", None)
+        return _lookup(tab if tab is not None else self.table,
+                       h1, h2, not_found)
 
     def logp_words(
         self,
