@@ -39,6 +39,7 @@ from .lexicon import Lexicon
 from .ngram import BOS, EOS, NGramLM, UNK
 
 BUCKET_CAP = 16      # slots per bucket: one (16, 4) int32 = 256 B row
+BIG_TABLE_ENTRIES = 8_000_000  # above this, buckets double to 32 slots
 TARGET_MEAN = 4      # keys per bucket on average (load factor 0.25)
 MISSING = -1.0e9     # dense-unigram sentinel for "no entry"
 
@@ -135,7 +136,7 @@ class BucketTable:
         # probability is ~1e-15/bucket, so memory stays a deterministic
         # 64 B/entry instead of doubling on one hot bucket (observed at the
         # 100M-entry drive: 8.6 → 17.2 GB from a single overflow).
-        cap = BUCKET_CAP if n < 8_000_000 else 2 * BUCKET_CAP
+        cap = BUCKET_CAP if n < BIG_TABLE_ENTRIES else 2 * BUCKET_CAP
         n_buckets = 1
         while n_buckets * (cap // 4) < n:
             n_buckets *= 2

@@ -102,3 +102,40 @@ def test_streaming_arpa_builder_matches(tmp_path, order):
             b = float(dev_stream.logp(jnp.asarray(c), jnp.asarray(wid)))
             np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
             np.testing.assert_allclose(a, lm.logp(ctx, w), rtol=1e-4, atol=1e-4)
+
+
+def test_big_table_capacity_and_lookup(monkeypatch):
+    """Above BIG_TABLE_ENTRIES the bucket capacity doubles to 32 slots
+    (512 B rows) so the Poisson tail cannot force a memory-doubling rebuild;
+    lookups must behave identically at either capacity."""
+    import b2txt_tpu.lm.device_ngram as dn
+
+    monkeypatch.setattr(dn, "BIG_TABLE_ENTRIES", 1000)
+    rng = np.random.default_rng(0)
+    n = 5000
+    h1 = rng.integers(1, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    h2 = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    v = rng.normal(size=n).astype(np.float32)
+    b = rng.normal(size=n).astype(np.float32)
+    table = dn.BucketTable.build_arrays(h1, h2, v, b)
+    assert table.packed.shape[1] == 32 * 4  # doubled capacity
+
+    dev_tab = table.as_device()
+    assert dev_tab[1] == 32
+    got_v, got_b, found = dn._lookup(
+        dev_tab, jnp.asarray(h1[:64]), jnp.asarray(h2[:64]), -99.0
+    )
+    # duplicates-by-hash keep-first: compare against the first occurrence
+    key64 = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+    _, first = np.unique(key64, return_index=True)
+    firstmap = {key64[i]: i for i in sorted(first)}
+    want_v = np.array([v[firstmap[key64[i]]] for i in range(64)])
+    assert bool(np.all(np.asarray(found)))
+    np.testing.assert_allclose(np.asarray(got_v), want_v, rtol=1e-6)
+
+    # missing keys
+    _, _, nf = dn._lookup(
+        dev_tab, jnp.asarray(np.full(4, 7, np.uint32)),
+        jnp.asarray(np.full(4, 9, np.uint32)), -99.0
+    )
+    assert not bool(np.any(np.asarray(nf)))
