@@ -774,42 +774,24 @@ class DeviceLexiconBeamSearch:
         import os
         import time as _time
 
-        timing = os.environ.get("B2TXT_DECODE_TIMING")
-        cfg = self.config
+        if not os.environ.get("B2TXT_DECODE_TIMING"):
+            return self._collect_batch(
+                self._dispatch_batch(log_probs, input_lengths), nbest
+            )
+        # stage-timed variant (debug): sync after the device work, then fetch
         t0 = _time.perf_counter()
-        lp_np, input_lengths, log_bp = self._prep_batch(log_probs, input_lengths)
-        t_prep = _time.perf_counter()
-        B = lp_np.shape[0]
-        lp = jnp.asarray(lp_np)
-        single = self._make_state()
-        state = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), single
-        )
-        state, recs = self._batch_scan(
-            self.dev_lm.table[0], state, lp,
-            jnp.asarray(input_lengths, jnp.int32),
-            scale=float(cfg.acoustic_scale),
-            length_penalty=float(cfg.length_penalty),
-            log_blank_penalty=log_bp,
-            first_beam=cfg.first_beam_size or None,
-            sum_mode=bool(cfg.sum_mode),
-        )
-        final = self._finalize_batch(self.dev_lm.table[0], state,
-                             sum_mode=bool(cfg.sum_mode))
-        if timing:
-            _sync = float(np.asarray(final[0][0, 0, 0]))
-            t_scan = _time.perf_counter()
+        final, recs = self._dispatch_batch(log_probs, input_lengths)
+        t_disp = _time.perf_counter()
+        float(np.asarray(final[0][0, 0, 0]))
+        t_scan = _time.perf_counter()
         final = tuple(np.asarray(x) for x in final)
         recs = (np.asarray(recs[0]), None, np.asarray(recs[2]))
-        if timing:
-            t_fetch = _time.perf_counter()
+        t_fetch = _time.perf_counter()
         out = self._extract_results(final, recs, nbest)
-        if timing:
-            t_ex = _time.perf_counter()
-            print(f"decode_batch timing: prep={t_prep - t0:.2f}s "
-                  f"scan+finalize={t_scan - t_prep:.2f}s "
-                  f"fetch={t_fetch - t_scan:.2f}s "
-                  f"extract={t_ex - t_fetch:.2f}s", flush=True)
+        print(f"decode_batch timing: prep+dispatch={t_disp - t0:.2f}s "
+              f"scan+finalize={t_scan - t_disp:.2f}s "
+              f"fetch={t_fetch - t_scan:.2f}s "
+              f"extract={_time.perf_counter() - t_fetch:.2f}s", flush=True)
         return out
 
     def _dispatch_batch(self, log_probs, input_lengths):
