@@ -107,12 +107,13 @@ class LmBeamState(NamedTuple):
 @dataclass
 class TrieArrays:
     """Gather-optimized trie: besides the plain next/words_at arrays (used by
-    finalize), the hot frame step reads exactly TWO packed rows per beam —
-    measured on the v5e, XLA charges ~30 ns per gathered ROW regardless of
-    row width, so per-node packing beats per-field element gathers ~10×:
+    finalize), the hot frame step reads ONE packed node row per beam plus one
+    8-byte [child, lookahead] pair per (beam, phone) — measured on the v5e,
+    XLA charges ~30 ns per gathered ROW regardless of row width, so packing
+    beats per-field element gathers ~10×:
 
-      node_pack[node] = [wids(H) | uni_logp_bits(H) | la_bits]   (2H+1 int32)
-      next_pack[node] = [child(V) | la_child_bits(V)]            (2V int32)
+      node_pack[node]   = [wids(H) | uni_logp_bits(H) | la_bits] (2H+1 int32)
+      next_la2[node, c] = [child, la_child_bits]                 (2 int32)
     """
 
     next: jax.Array       # (n_nodes, V) int32
