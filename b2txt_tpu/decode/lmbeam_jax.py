@@ -190,32 +190,25 @@ def compact_blank_skip(
     B, T, C = lp.shape
     if log_blank_penalty != 0.0:
         lp[:, :, blank] -= log_blank_penalty
-    blank_row = np.full((C,), -30.0, np.float32)
-    blank_row[blank] = 0.0
 
-    lens_out = np.zeros((B,), np.int32)
-    per_utt: List[np.ndarray] = []
-    for b in range(B):
-        skip = np.exp(lp[b, : lengths[b], blank]) > thresh
-        rows = []
-        pending = False
-        for t in range(int(lengths[b])):
-            if skip[t]:
-                pending = True
-                continue
-            if pending:
-                rows.append(blank_row)
-                pending = False
-            rows.append(lp[b, t])
-        per_utt.append(
-            np.stack(rows) if rows else np.zeros((0, C), np.float32)
-        )
-        lens_out[b] = len(rows)
-    T_out = max(1, int(lens_out.max()))
+    # Vectorized compaction (one mask/cumsum pass, no per-frame Python):
+    # within each utterance every frame is either kept or skipped, so a
+    # synthetic blank precedes kept frame t iff frame t-1 was skipped
+    # (covers both leading skips and any skip run between kept frames);
+    # trailing skipped frames emit nothing — identical to the streaming
+    # pending-blank semantics above.
+    valid = np.arange(T)[None, :] < np.asarray(lengths)[:, None]   # (B, T)
+    skip = valid & (np.exp(lp[:, :, blank]) > thresh)
+    keep = valid & ~skip
+    insert = keep & np.pad(skip[:, :-1], ((0, 0), (1, 0)))
+    end = np.cumsum(keep.astype(np.int64) + insert.astype(np.int64), axis=1)
+    lens_out = end[:, -1].astype(np.int32) if T else np.zeros((B,), np.int32)
+
+    T_out = max(1, int(lens_out.max(initial=0)))
     out = np.full((B, T_out, C), -30.0, np.float32)
-    out[:, :, blank] = 0.0  # padding frames are inert (masked by lengths too)
-    for b in range(B):
-        out[b, : lens_out[b]] = per_utt[b]
+    out[:, :, blank] = 0.0  # padding AND inserted-blank rows are this template
+    bidx, tidx = np.nonzero(keep)
+    out[bidx, end[bidx, tidx] - 1] = lp[bidx, tidx]
     return out, lens_out
 
 
@@ -949,7 +942,10 @@ class DeviceLexiconBeamSearch:
         if B % D:
             raise ValueError(f"batch {B} not divisible by mesh axis size {D}")
 
-        key = (id(mesh), axis)
+        # cache key by device identity, not the Mesh object: two Mesh objects
+        # over the same devices share one compiled runner, and the cache no
+        # longer pins dead Mesh objects alive through the closure
+        key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, axis)
         if getattr(self, "_sharded_cache", None) is None:
             self._sharded_cache = {}
         if key not in self._sharded_cache:

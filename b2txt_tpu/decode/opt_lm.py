@@ -235,10 +235,13 @@ def score_tokens_fn(cfg: OPTConfig, compute_dtype=jnp.float32):
 class OPTRescorer:
     """LLMScorer over the OPT forward. score(texts) = Σ token log-probs −
     length_penalty · n_tokens (parity: rescore_with_gpt2, standalone
-    :127-161). ``encode`` maps text → token ids (the reference uses the HF
-    GPT2-BPE tokenizer; any callable works — pass
-    ``lambda t, n: tokenizer(t)["input_ids"][:n]`` when tokenizer files are
-    available). Pass a Mesh for pjit TP/DP sharding."""
+    :127-161). ``encode`` maps text → token ids — the reference uses the HF
+    GPT2-BPE tokenizer (standalone :115-123); pass a
+    ``b2txt_tpu.utils.bpe.ByteBPE`` (e.g. ``ByteBPE.for_opt(vocab, merges)``)
+    or any (text, max_len) → ids callable. Without one, a byte-mod-vocab
+    stand-in is used FOR TESTS ONLY and a loud warning is emitted — its
+    scores are meaningless against real OPT weights. Pass a Mesh for pjit
+    TP/DP sharding."""
 
     def __init__(
         self,
@@ -252,9 +255,20 @@ class OPTRescorer:
     ):
         self.cfg = cfg
         self.max_len = min(max_len, cfg.max_position_embeddings)
-        self.encode = encode or (
-            lambda t, n: [b % cfg.vocab_size for b in t.encode("utf-8")][:n]
-        )
+        if encode is None:
+            import logging
+
+            logging.getLogger("b2txt_tpu.opt").warning(
+                "OPTRescorer: no tokenizer supplied — falling back to a "
+                "byte-mod-vocab stand-in. Scores are MEANINGLESS with real "
+                "OPT weights; pass encode=ByteBPE.for_opt(vocab.json, "
+                "merges.txt) (utils/bpe.py) for the reference's GPT2-BPE "
+                "behavior (standalone :115-123)."
+            )
+            encode = (
+                lambda t, n: [b % cfg.vocab_size for b in t.encode("utf-8")][:n]
+            )
+        self.encode = encode
         self.params = params if params is not None else init_params(
             jax.random.PRNGKey(seed), cfg
         )

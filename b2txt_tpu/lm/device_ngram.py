@@ -568,4 +568,5 @@ class ShardedNGram(DeviceNGram):
     def from_device_ngram(cls, dev: DeviceNGram, axis_name: str) -> "ShardedNGram":
         return cls(order=dev.order, n_words=dev.n_words, table=dev.table,
                    uni_logp=dev.uni_logp, uni_bow=dev.uni_bow,
-                   unk_logp=dev.unk_logp, axis_name=axis_name)
+                   unk_logp=dev.unk_logp, n_entries=dev.n_entries,
+                   axis_name=axis_name)

@@ -312,6 +312,15 @@ def bench_step(args):
             def logp(self, ctx, word):
                 return jnp.float32(-2.0)
 
+            # decode_batch's jitted scan binds the table at trace time
+            # (lmbeam_jax scan_batch_bound) — delegate to the real LM's
+            # bind machinery so the probe-cost ablation mode still runs.
+            def bind_table(self, packed):
+                real.bind_table(packed)
+
+            def unbind_table(self):
+                real.unbind_table()
+
         dev.dev_lm = StubLM()
 
     B, T = args.batch, args.frames

@@ -214,6 +214,82 @@ def test_compact_blank_skip_semantics():
     np.testing.assert_allclose(out[0, 3], lp[0, 4], rtol=1e-6)
 
 
+def test_compact_blank_skip_random_vs_loop():
+    """Vectorized compaction == the per-frame streaming loop on random
+    batches (covers leading/trailing skip runs, all-skip and empty rows)."""
+    from b2txt_tpu.decode.lmbeam_jax import compact_blank_skip
+
+    rng = np.random.default_rng(3)
+    B, T, C = 5, 17, 6
+    lp = np.log(rng.dirichlet(np.full(C, 0.3), size=(B, T))).astype(np.float32)
+    lp[1, :, 0] = 0.0          # an all-skip utterance
+    lengths = np.array([17, 9, 0, 13, 17], np.int32)
+    thresh, log_bp = 0.6, float(np.log(0.5))
+
+    out, lens = compact_blank_skip(lp, lengths, blank=0, thresh=thresh,
+                                   log_blank_penalty=log_bp)
+
+    # reference loop (the pre-vectorization semantics)
+    pen = lp.copy()
+    pen[:, :, 0] -= log_bp
+    blank_row = np.full((C,), -30.0, np.float32)
+    blank_row[0] = 0.0
+    for b in range(B):
+        rows = []
+        pending = False
+        for t in range(int(lengths[b])):
+            if np.exp(pen[b, t, 0]) > thresh:
+                pending = True
+                continue
+            if pending:
+                rows.append(blank_row)
+                pending = False
+            rows.append(pen[b, t])
+        assert lens[b] == len(rows)
+        if rows:
+            np.testing.assert_allclose(out[b, : len(rows)], np.stack(rows),
+                                       rtol=1e-6)
+    assert lens[1] == 0 and lens[2] == 0
+
+
+def test_batch_blank_skip_fires_live_vs_oracle(lexicon, lm):
+    """Batched decode at blank_penalty < 1 — the regime where the skip
+    threshold is actually reachable, so compact_blank_skip really drops
+    frames — matches the host oracle's streaming skip semantics
+    (reference: ctc_wfst_beam_search.cc:86-95)."""
+    from b2txt_tpu.decode.lmbeam_jax import compact_blank_skip
+
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=0.5, nbest=5,
+                       beam_width=64, beam=0.0, ctc_blank_skip_threshold=0.9)
+    sents = ["the cat sat on the mat", "there is the cat"]
+    lps = [
+        clean_logprobs(lexicon.sentence_to_phonemes(s), hot=5.0, noise=0.3,
+                       seed=11 + i)
+        for i, s in enumerate(sents)
+    ]
+    T = max(l.shape[0] for l in lps)
+    batch = np.full((2, T, 41), -20.0, np.float32)
+    lens = np.array([l.shape[0] for l in lps], np.int32)
+    for i, l in enumerate(lps):
+        batch[i, : l.shape[0]] = l
+
+    # the compaction must actually drop frames in this regime
+    _, clens = compact_blank_skip(batch, lens, blank=0, thresh=0.9,
+                                  log_blank_penalty=float(np.log(0.5)))
+    assert (clens < lens).all()
+
+    dev = DeviceLexiconBeamSearch(lexicon, lm, cfg)
+    res_batch = dev.decode_batch(batch, lens)
+    for i, s in enumerate(sents):
+        host = LexiconBeamSearch(lexicon, lm, cfg)
+        host.decode(lps[i])
+        r_host = host.finish_decoding()
+        assert res_batch[i][0].sentence == r_host[0].sentence == s
+        np.testing.assert_allclose(
+            res_batch[i][0].lm_score, r_host[0].lm_score, rtol=1e-3, atol=1e-3
+        )
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_device_lower_order_lms(lexicon, order):
     lm = train_ngram(CORPUS, order=order)
