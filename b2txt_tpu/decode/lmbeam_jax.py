@@ -212,6 +212,20 @@ def compact_blank_skip(
     return out, lens_out
 
 
+def _compress_traces(traces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(T, B, K) word-emission traces (−1 = none) → per-beam word-id lists
+    (B, K, L) int32 −1-padded plus their lengths (B, K). One vectorized numpy
+    pass (stable argsort floats kept words to the front per column); L is
+    bucketed to a multiple of 8 to bound rescore-jit recompiles."""
+    mask = traces >= 0
+    lens = mask.sum(axis=0).astype(np.int32)                    # (B, K)
+    L = -(-max(1, int(lens.max(initial=0))) // 8) * 8
+    order = np.argsort(~mask, axis=0, kind="stable")            # kept first
+    gathered = np.take_along_axis(traces, order[:L], axis=0)    # (L, B, K)
+    out = np.where(np.arange(L)[:, None, None] < lens[None], gathered, -1)
+    return np.moveaxis(out, 0, -1).astype(np.int32), lens
+
+
 def _backtrace_all(parents: np.ndarray, words: np.ndarray) -> np.ndarray:
     """Vectorized word backtrace for every final beam of every utterance.
 
@@ -242,10 +256,13 @@ class DeviceLexiconBeamSearch:
         sil: int = SIL_ID_MODEL,
         max_homophones: int = 4,
         dev_lm: Optional[DeviceNGram] = None,
+        rescore_lm=None,
     ):
         """Pass either a host NGramLM (packed onto the device here) or a
         prebuilt DeviceNGram (``dev_lm`` — the from_arpa_streaming path for
-        LMs too large to hold as host dicts)."""
+        LMs too large to hold as host dicts). ``rescore_lm`` (NGramLM or
+        DeviceNGram) enables unpruned-LM finalize rescoring — see
+        attach_rescore_lm."""
         self.lexicon = lexicon
         self.config = config or DecodeConfig()
         self.blank = blank
@@ -279,7 +296,95 @@ class DeviceLexiconBeamSearch:
         self._scan = self._build_scan()
         self._finalize_fn, self._finalize_batch = self._build_finalize()
         self._batch_scan = self._build_batch_scan()
+        self.rescore_lm: Optional[DeviceNGram] = None
+        if rescore_lm is not None:
+            self.attach_rescore_lm(rescore_lm)
         self.reset()
+
+    def attach_rescore_lm(self, lm) -> None:
+        """Enable unpruned-LM rescoring of the FULL finalize candidate pool,
+        on device — the TPU analogue of the native decoder's pool rescore
+        (runtime/decoder.cc:675-690; reference
+        brain_speech_decoder.cc:61-101): each candidate's decode-LM score is
+        replaced by the unpruned model's full-sentence log-probability
+        (+ length_penalty·n_words) and the ranking score shifts by the
+        difference before the n-best cut. ``lm`` is a host NGramLM (packed
+        into HBM bucket tables here) or a prebuilt DeviceNGram sharing this
+        searcher's lexicon word ids.
+
+        Cost model: one L-step scan scores every beam's word prefix once
+        (probes batch over B·K beams), then the H+1 final-word variants
+        reuse the shared context — a handful of gathered rows per beam,
+        ~ms per decode batch (see DESIGN.md round-3 cost model)."""
+        rlm = lm if isinstance(lm, DeviceNGram) else DeviceNGram.build(
+            lm, self.lexicon
+        )
+        self.rescore_lm = rlm
+        CW = max(rlm.order - 1, 1)
+
+        def one(trace, n, fw):
+            # trace (L,) word ids of this beam, n = live count, fw (H+1,)
+            # final-word variants (−1 = sentence ends at the traced words)
+            ctx0 = jnp.full((CW,), -1, jnp.int32).at[CW - 1].set(rlm.bos_id)
+            L = trace.shape[0]
+
+            def step(carry, tw):
+                ctx, acc = carry
+                t, w = tw
+                valid = t < n
+                wc = jnp.maximum(w, 0)
+                lp = rlm.logp(ctx, wc)
+                acc = acc + jnp.where(valid, lp, 0.0)
+                new_ctx = (jnp.concatenate([ctx[1:], wc[None]]) if CW > 1
+                           else wc[None])
+                ctx = jnp.where(valid, new_ctx, ctx)
+                return (ctx, acc), None
+
+            (ctx, acc), _ = jax.lax.scan(
+                step, (ctx0, jnp.float32(0.0)),
+                (jnp.arange(L, dtype=jnp.int32), trace),
+            )
+            eos = jnp.asarray(rlm.eos_id, jnp.int32)
+            fw_ok = fw >= 0
+            wc = jnp.maximum(fw, 0)
+            wlp = rlm.logp_words(ctx, wc)                        # (H+1,)
+            new_ctx = (
+                jnp.concatenate(
+                    [jnp.broadcast_to(ctx[None, 1:], (fw.shape[0], CW - 1)),
+                     wc[:, None]], axis=1)
+                if CW > 1 else wc[:, None]
+            )
+            eos_close = jax.vmap(rlm.logp, in_axes=(0, None))(new_ctx, eos)
+            eos_root = rlm.logp(ctx, eos)
+            return jnp.where(fw_ok, acc + wlp + eos_close, acc + eos_root)
+
+        def run(table, traces, lens, fwords):
+            rlm.bind_table(table)
+            try:
+                return jax.vmap(jax.vmap(one))(traces, lens, fwords)
+            finally:
+                rlm.unbind_table()
+
+        self._rescore_fn = jax.jit(run)
+
+    def _apply_rescore(self, scores, lms, fwords, traces):
+        """Shift (scores, lms) in place per the pool rescore semantics.
+        traces: (T, B, K); scores/lms/fwords: (B, K, H+1). Returns the
+        updated (scores, lms)."""
+        cfg = self.config
+        tr, tr_lens = _compress_traces(traces)
+        new_lm = np.asarray(
+            self._rescore_fn(
+                self.rescore_lm.table[0], jnp.asarray(tr),
+                jnp.asarray(tr_lens), jnp.asarray(fwords),
+            )
+        )
+        n_words = tr_lens[:, :, None] + (fwords >= 0)
+        new_lm = new_lm + float(cfg.length_penalty) * n_words
+        finite = np.isfinite(scores)
+        scores = np.where(finite, scores + (new_lm - lms), scores)
+        lms = np.where(finite, new_lm, lms)
+        return scores, lms
 
     # ---------------------------------------------------------------- state
     def set_opt(self, config: DecodeConfig) -> None:
@@ -881,6 +986,9 @@ class DeviceLexiconBeamSearch:
         words = np.asarray(recs[2])
         traces = _backtrace_all(parents, words)               # (T, B, K)
 
+        if self.rescore_lm is not None:
+            scores, lms = self._apply_rescore(scores, lms, fwords, traces)
+
         n_out = nbest or cfg.nbest
         results: List[List[DecodeResult]] = []
         for b in range(B):
@@ -1062,6 +1170,19 @@ class DeviceLexiconBeamSearch:
             for x in self._finalize_fn(self.dev_lm.table[0], self.state,
                                        sum_mode=bool(cfg.sum_mode))
         )
+        if self.rescore_lm is not None and self.records:
+            # streaming path: reconstruct every beam's word trace, then run
+            # the same pool rescore as the batched path on (1, K, ·) shapes
+            K = scores.shape[0]
+            T_tot = sum(r[0].shape[0] for r in self.records)
+            traces = np.full((T_tot, 1, K), -1, np.int32)
+            for k in range(K):
+                ws = self._backtrace_words(k)
+                traces[: len(ws), 0, k] = ws
+            s2, l2 = self._apply_rescore(
+                scores[None], lms[None], fwords[None], traces
+            )
+            scores, lms = s2[0], l2[0]
         flat = scores.reshape(-1)
         order = np.argsort(-flat)
         results: List[DecodeResult] = []

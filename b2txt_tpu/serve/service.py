@@ -159,10 +159,31 @@ class DecoderService:
             searcher_backend, lexicon, lm, self.config, arpa_path, lexicon_path
         )
         self.rescore_lm = rescore_lm
+        # device backend: rescore the FULL candidate pool on chip (native
+        # pool-rescore parity, runtime/decoder.cc:675-690) instead of the
+        # post-cut host list rescore
+        self._sync_device_rescore()
         self.llm = llm
         self.channel_order = channel_order
         self.context: str = ""
         self.stats: Dict[str, float] = {}
+
+    def _sync_device_rescore(self) -> None:
+        """Keep the device searcher's on-chip pool rescore in step with
+        cfg.rescore (runtime update_params can toggle it)."""
+        s = self.searcher
+        if self.searcher_backend != "device" or not hasattr(
+            s, "attach_rescore_lm"
+        ):
+            self._internal_rescore = False
+            return
+        if self.config.rescore and self.rescore_lm is not None:
+            if getattr(s, "rescore_lm", None) is None:
+                s.attach_rescore_lm(self.rescore_lm)
+            self._internal_rescore = True
+        else:
+            s.rescore_lm = None
+            self._internal_rescore = False
 
     # ------------------------------------------------------------- protocol
     def reset(self) -> None:
@@ -179,6 +200,7 @@ class DecoderService:
         cfg = self.config.replace(**kwargs)
         self.config = cfg
         self.searcher.set_opt(cfg)
+        self._sync_device_rescore()
         LOG.info(f"Updated language model params: {kwargs}")
         return cfg.to_dict()
 
@@ -207,7 +229,8 @@ class DecoderService:
         cfg = self.config
         nbest = results_to_nbest(results)
 
-        if cfg.rescore and self.rescore_lm is not None and nbest:
+        if (cfg.rescore and self.rescore_lm is not None and nbest
+                and not self._internal_rescore):
             t = time.time()
             nbest = rescore_nbest_with_ngram(nbest, self.rescore_lm)
             self.stats["rescore_time"] = time.time() - t

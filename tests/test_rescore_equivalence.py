@@ -173,3 +173,54 @@ def test_native_precut_rescore_rescues(world, tmp_path):
         assert r_resc == truth
         rescued += (r_plain != truth)
     assert rescued >= 1  # the rescore actually changed an outcome
+
+def test_device_precut_rescore_matches_native(world, tmp_path):
+    """The device searcher's on-chip pool rescore (attach_rescore_lm —
+    runtime/decoder.cc:675-690 parity) rescues the same truths as the C++
+    backend, with matching rescored lm_scores, in both the batched and the
+    streaming decode paths."""
+    from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+
+    lexicon, pruned, unpruned = world
+    arpa = str(tmp_path / "lm.arpa"); pruned.to_arpa(arpa)
+    arpa_big = str(tmp_path / "big.arpa"); unpruned.to_arpa(arpa_big)
+    lexp = str(tmp_path / "lexicon.txt")
+    from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
+    with open(lexp, "w") as f:
+        for w, wid in lexicon.word_ids.items():
+            for pron in lexicon.prons[wid]:
+                f.write(f"{w.upper()}  {' '.join(LOGIT_TO_PHONEME[p] for p in pron)}\n")
+
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=5,
+                       beam_width=96, beam=0.0, length_penalty=0.3)
+    native = NativeLexiconBeamSearch(arpa, lexp, cfg, rescore_arpa=arpa_big)
+    dev = DeviceLexiconBeamSearch(lexicon, pruned, cfg, rescore_lm=unpruned)
+
+    lps = [logits_for(lexicon, t, seed=10 + i) for i, t in enumerate(TRUTHS)]
+    T = max(l.shape[0] for l in lps)
+    batch = np.full((len(lps), T, 41), -20.0, np.float32)
+    lens = np.array([l.shape[0] for l in lps], np.int32)
+    for i, l in enumerate(lps):
+        batch[i, : l.shape[0]] = l
+    res_batch = dev.decode_batch(batch, lens)
+
+    for i, truth in enumerate(TRUTHS):
+        native.reset(); native.decode(lps[i])
+        r_nat = native.finish_decoding()
+        dev.reset(); dev.decode(lps[i])
+        r_stream = dev.finish_decoding()
+        assert r_nat[0].sentence == truth
+        assert res_batch[i][0].sentence == truth
+        assert r_stream[0].sentence == truth
+        np.testing.assert_allclose(res_batch[i][0].lm_score,
+                                   r_nat[0].lm_score, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(r_stream[0].lm_score,
+                                   r_nat[0].lm_score, rtol=1e-4, atol=1e-4)
+        # deeper n-best agreement where sentences align
+        nat_by_s = {r.sentence: r for r in r_nat}
+        for r in res_batch[i][:3]:
+            if r.sentence in nat_by_s:
+                np.testing.assert_allclose(
+                    r.lm_score, nat_by_s[r.sentence].lm_score,
+                    rtol=1e-4, atol=1e-4)
