@@ -124,8 +124,14 @@ def write_synthetic_sessions(
     neural_dim: int = 64,
     seed: int = 0,
     splits: Sequence[str] = ("train", "val"),
+    min_words: int = 2,
+    max_words: int = 4,
+    frames_per_phoneme: int = 8,
 ) -> Dict[str, str]:
-    """Write data_{split}.hdf5 per session under root/<session>/, reference layout."""
+    """Write data_{split}.hdf5 per session under root/<session>/, reference
+    layout. min/max_words and frames_per_phoneme size the trials (the
+    full-input training bench uses reference-length ~350-bin utterances at
+    neural_dim=512)."""
     code = phoneme_code(neural_dim)
     paths = {}
     for si, session in enumerate(sessions):
@@ -133,8 +139,13 @@ def write_synthetic_sessions(
             rng = np.random.default_rng(seed + 1000 * si + hash(split) % 997)
             trials = []
             for t in range(trials_per_session):
-                text, ids = make_sentence(rng, n_words=int(rng.integers(2, 5)))
-                feats = synth_features(rng, ids, neural_dim, code=code)
+                text, ids = make_sentence(
+                    rng, n_words=int(rng.integers(min_words, max_words + 1))
+                )
+                feats = synth_features(
+                    rng, ids, neural_dim, code=code,
+                    frames_per_phoneme=frames_per_phoneme,
+                )
                 transcription = np.zeros(500, np.uint8)
                 raw = text.encode()[:499]
                 transcription[: len(raw)] = np.frombuffer(raw, np.uint8)

@@ -37,7 +37,8 @@ class TrialEval:
     day_idx: int
     block_num: int
     trial_num: int
-    logits: np.ndarray          # (P, 41) float32, model channel order
+    logits: Optional[np.ndarray]  # (P, 41) f32 model order; None when the
+                                  # posteriors stayed device-resident
     decoded_ids: List[int]      # greedy phoneme ids
     true_ids: Optional[List[int]]
     sentence_label: Optional[str]
@@ -104,6 +105,55 @@ def _batched_inference(
     return out  # type: ignore[return-value]
 
 
+def _batched_inference_device(
+    params, feats_list: List[np.ndarray], day_idx: int, cfg: TrainConfig,
+    compute_dtype, batch_size: int = 32, time_bucket: int = 128,
+):
+    """Device-resident variant of _batched_inference: log-softmax posteriors
+    STAY on device (they feed the device beam search HBM→HBM — the coupling
+    of evaluate_model.py:158-237 without the Redis/host round-trip); only
+    the greedy argmax ids (B, P) int32 come to host for the PER printout —
+    a ~160× smaller fetch than the (B, P, 41) float logits.
+
+    Returns (batches [(lp_dev, lens)], sizes, trial_order, greedy_ids)."""
+    dt = cfg.dataset.data_transforms
+    ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
+    order = np.argsort([f.shape[0] for f in feats_list])
+    batches, sizes, trial_order, greedy = [], [], [], {}
+    for start in range(0, len(order), batch_size):
+        idxs = order[start : start + batch_size]
+        max_t = max(feats_list[i].shape[0] for i in idxs)
+        T_pad = ((max_t + time_bucket - 1) // time_bucket) * time_bucket
+        D = feats_list[idxs[0]].shape[1]
+        batch = np.zeros((batch_size, T_pad, D), np.float32)
+        for row, i in enumerate(idxs):
+            batch[row, : feats_list[i].shape[0]] = feats_list[i]
+        x = jnp.asarray(batch)
+        if dt.smooth_data:
+            x = gauss_smooth(x, std=dt.smooth_kernel_std,
+                             size=dt.smooth_kernel_size, padding="valid")
+        logits = gru_decoder.forward(
+            params, x, jnp.full((batch_size,), day_idx),
+            patch_size=cfg.model.patch_size,
+            patch_stride=cfg.model.patch_stride,
+            compute_dtype=compute_dtype,
+        )
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ids = np.asarray(jnp.argmax(lp, axis=-1))          # small fetch
+        lens = np.zeros((batch_size,), np.int32)
+        for row, i in enumerate(idxs):
+            t_i = feats_list[i].shape[0]
+            if dt.smooth_data:
+                t_i = t_i - ksize + 1
+            p_i = (t_i - cfg.model.patch_size) // cfg.model.patch_stride + 1
+            lens[row] = p_i
+            greedy[i] = ids[row, :p_i]
+        batches.append((lp, lens))
+        sizes.append(len(idxs))
+        trial_order.extend(int(i) for i in idxs)
+    return batches, sizes, trial_order, greedy
+
+
 def evaluate_sessions(
     params,
     cfg: TrainConfig,
@@ -114,11 +164,26 @@ def evaluate_sessions(
     compute_dtype=jnp.float32,
     batched: bool = True,
     verbose: bool = False,
+    device_resident: bool = False,
 ) -> Dict:
     """Run the full eval flow. Returns a dict with per-trial results, greedy
-    aggregate PER, and (with a decoder) aggregate WER."""
+    aggregate PER, and (with a decoder) aggregate WER.
+
+    ``device_resident=True`` (requires a device-backend decoder) keeps the
+    RNN posteriors in HBM and feeds them straight to the device beam search
+    (service.decode_batched_utterances); only greedy argmax ids are fetched
+    per trial. TrialEval.logits is None in this mode."""
     sessions = list(sessions if sessions is not None else cfg.dataset.sessions)
     trials: List[TrialEval] = []
+    if device_resident and (
+        decoder is None or not hasattr(decoder.searcher, "decode_batches")
+    ):
+        raise ValueError(
+            "device_resident=True requires a device-backend DecoderService"
+        )
+    dev_batches: List = []
+    dev_sizes: List[int] = []
+    dev_order: List[int] = []
 
     # Day indices must match the model's day-layer indices — i.e. the session's
     # position in the TRAINING session list, not in a filtered subset.
@@ -137,7 +202,19 @@ def evaluate_sessions(
         feats = data["neural_features"]
         if not feats:
             continue
-        if batched:
+        if device_resident:
+            base = len(trials)
+            batches_s, sizes_s, order_s, greedy_s = _batched_inference_device(
+                params, feats, day_idx, cfg, compute_dtype
+            )
+            dev_batches.extend(batches_s)
+            dev_sizes.extend(sizes_s)
+            dev_order.extend(base + i for i in order_s)
+            logits_list = [None] * len(feats)
+            decoded_by_i = {
+                i: greedy_collapse(ids) for i, ids in greedy_s.items()
+            }
+        elif batched:
             logits_list = _batched_inference(
                 params, feats, day_idx, cfg, compute_dtype
             )
@@ -147,7 +224,8 @@ def evaluate_sessions(
                 for f in feats
             ]
         for i, logits in enumerate(logits_list):
-            decoded = greedy_collapse(np.argmax(logits, axis=-1))
+            decoded = (decoded_by_i[i] if device_resident
+                       else greedy_collapse(np.argmax(logits, axis=-1)))
             true_ids = (
                 list(map(int, data["seq_class_ids"][i][: data["seq_len"][i]]))
                 if data["seq_class_ids"][i] is not None and data["seq_len"][i]
@@ -192,11 +270,18 @@ def evaluate_sessions(
     # backend; other backends decode serially.
     if decoder is not None:
         t0 = time.time()
-        finals: List[FinalOutput] = decoder.decode_utterances(
-            [t.logits for t in trials]
-        )
-        for t, final in zip(trials, finals):
-            t.decoded_sentence = final.sentence
+        if device_resident:
+            # HBM→HBM: the device posteriors feed the device beam search
+            # directly; outputs map back through the bucketing order
+            outs_d = decoder.decode_batched_utterances(dev_batches, dev_sizes)
+            for pos, final in zip(dev_order, outs_d):
+                trials[pos].decoded_sentence = final.sentence
+        else:
+            finals: List[FinalOutput] = decoder.decode_utterances(
+                [t.logits for t in trials]
+            )
+            for t, final in zip(trials, finals):
+                t.decoded_sentence = final.sentence
         out["lm_decode_time"] = time.time() - t0
         out["sentences_per_sec"] = len(trials) / max(out["lm_decode_time"], 1e-9)
 

@@ -121,14 +121,19 @@ def plant_frame_labels(
     T: int,
     min_hot: int = 5,
     max_hot: int = 7,
-    min_gap: int = 5,
-    max_gap: int = 9,
+    min_gap: int = 2,
+    max_gap: int = 4,
     lead: int = 8,
 ) -> Tuple[np.ndarray, int]:
     """(T,) int32 per-frame phoneme labels (−1 = silence) with hot runs long
-    enough that every phoneme catches ≥1 patch center at stride 4, and
-    silence gaps that survive the Gaussian smear — the feature-space analogue
-    of data/synthetic.ctc_logprobs' trained-model temporal statistics.
+    enough that every phoneme catches ≥1 patch center at stride 4 — the
+    feature-space analogue of data/synthetic.ctc_logprobs' trained-model
+    temporal statistics (~9 frames = 180 ms per phoneme emission).
+
+    CTC only needs a blank-argmax frame between REPEATED phonemes, so the
+    default inter-phoneme gap is short (a gap center's smeared response just
+    merges into a neighboring run — harmless under collapse) and the gap
+    before a repeat is widened so a clean silence center is guaranteed.
     Returns (labels, n_planted) — callers must check n_planted ==
     len(phoneme_ids) (a too-long sequence is truncated, not squeezed)."""
     labels = np.full((T,), -1, np.int32)
@@ -137,10 +142,7 @@ def plant_frame_labels(
     n_planted = 0
     for pid in phoneme_ids:
         if pid == prev:
-            # repeated phoneme: CTC requires a blank-argmax frame between the
-            # two emissions; widen the gap so the Gaussian smear + stride-4
-            # patch sampling are guaranteed clean silence centers
-            t += 6
+            t += 8
         n = int(rng.integers(min_hot, max_hot + 1))
         if t + n > T - 12:   # the last run must still catch a patch center
             break            # after the 'valid' smoothing trim

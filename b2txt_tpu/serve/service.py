@@ -325,3 +325,26 @@ class DecoderService:
                 nbest_lists = searcher.decode_batch(lp, lengths)
                 outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
         return outs
+
+    def decode_batched_utterances(
+        self, batches: Sequence[tuple], sizes: Optional[Sequence[int]] = None
+    ) -> List[FinalOutput]:
+        """Device-resident batched decode: ``batches`` is a sequence of
+        (log_probs (B, T, 41), lengths (B,)) already in MODEL channel order
+        and log-softmax normalized — typically jax device Arrays straight
+        from the RNN forward (the connected HBM→HBM handoff; at canonical
+        params the searcher keeps them resident — lmbeam_jax._prep_batch).
+        ``sizes`` gives the REAL utterance count per batch (≤ B, for padded
+        tails). Requires the device backend."""
+        searcher = self.searcher
+        if not hasattr(searcher, "decode_batches"):
+            raise ValueError(
+                "decode_batched_utterances requires the device searcher "
+                f"backend, got {self.searcher_backend!r}"
+            )
+        if sizes is None:
+            sizes = [lp.shape[0] for lp, _ in batches]
+        outs: List[FinalOutput] = []
+        for n, nbest_lists in zip(sizes, searcher.decode_batches(batches)):
+            outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
+        return outs

@@ -241,6 +241,7 @@ class Trainer:
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
         train_losses, val_losses, val_pers, val_results = [], [], [], []
+        pending_losses: list = []
         val_steps_since_improvement = 0
         train_start = time.time()
         base_key = jax.random.PRNGKey(cfg.seed if cfg.seed != -1 else 0)
@@ -258,16 +259,24 @@ class Trainer:
                 jnp.asarray(batch["day_indicies"]),
             )
             self.step += 1
-            loss = float(loss)
-            train_losses.append(loss)
+            # loss stays a DEVICE scalar between log points: a per-step
+            # float() would serialize every step on the host sync (through
+            # the axon tunnel that bills ~25 ms RTT per step); converting in
+            # chunks keeps dispatch pipelined — the trainer's sustained rate
+            # IS the async rate (see docs/DESIGN.md training methodology)
+            pending_losses.append(loss)
 
             if i % cfg.batches_per_train_log == 0:
+                train_losses.extend(map(float, pending_losses))
+                pending_losses.clear()
                 self.logger.info(
-                    f"Train batch {i}: loss: {loss:.2f} "
+                    f"Train batch {i}: loss: {train_losses[-1]:.2f} "
                     f"grad norm: {float(grad_norm):.2f} time: {time.time() - t0:.3f}"
                 )
 
             if i % cfg.batches_per_val_step == 0 or i == cfg.num_training_batches - 1:
+                train_losses.extend(map(float, pending_losses))
+                pending_losses.clear()
                 t0 = time.time()
                 val_metrics = self.validation(return_logits=cfg.save_val_logits)
                 self.logger.info(
@@ -334,6 +343,8 @@ class Trainer:
                     )
                     break
 
+        train_losses.extend(map(float, pending_losses))
+        pending_losses.clear()
         self.logger.info(f"Best avg val PER achieved: {self.best_val_per:.5f}")
         self.logger.info(
             f"Total training time: {(time.time() - train_start) / 60:.2f} minutes"

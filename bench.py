@@ -1,36 +1,47 @@
-"""Headline benchmark: HONEST end-to-end sentence decode throughput at
-REFERENCE SCALE on one chip.
+"""Headline benchmark: CONNECTED end-to-end sentence decode throughput at
+REFERENCE SCALE on one chip — stage 1's actual posteriors feed stage 2.
 
-Pipeline = the reference's two-process decode flow, rebuilt:
-  stage 1 (TPU):  valid-padding Gaussian smoothing → day-adapted 5×768 GRU
-                  (bf16, full rnn_args.yaml shapes) → CTC posteriors
+Pipeline = the reference's two-process decode flow
+(model_training/evaluate_model.py:158-237), rebuilt device-resident:
+
+  stage 1 (TPU):  planted 512-dim features (generated in HBM from a tiny
+                  label array) → 'valid' Gaussian smoothing → day-adapted
+                  5×768 GRU (bf16, full rnn_args.yaml shapes) → log-softmax
+                  CTC posteriors. Weights are the analytically constructed
+                  full-size pytree of models/planted.py: every matmul keeps
+                  its production shape (wall-clock is the true forward cost)
+                  while the posteriors decode to KNOWN transcripts.
   stage 2:        lexicon+n-gram fused beam search at the reference's
                   production scale — 125,000-word lexicon, pruned n-gram
-                  decode LM + unpruned n-best rescoring (the G/G_no_prune
-                  pair, reference README.md:101 +
+                  decode LM + unpruned-LM candidate-pool rescoring on BOTH
+                  backends (the G/G_no_prune pair, reference README.md:101 +
                   brain_speech_decoder.cc:61-101), canonical decode params
                   (acoustic_scale 0.325, blank_penalty 90, nbest 100, beam 17
-                  — model_training/README.md:37)
+                  — model_training/README.md:37).
 
-The HEADLINE is measured with both stages actually running together — no
-idle-core assumption (round-2's min-of-isolated-stages number was flagged
-for assuming a free host core on a 1-core rig). Two honest configurations
-are measured and the better one is the headline:
+The HEADLINE is measured with both stages actually CONNECTED and running
+together. Two honest configurations are wall-clocked and the better one is
+the headline:
 
-  * device pipeline: RNN forward AND the batched TPU-resident beam search
-    run back-to-back on the one chip (zero host decode CPU), wall-clocked
-    together over the same sentence stream;
-  * host-overlapped pipeline: the C++ decoder (ctypes, GIL released) decodes
-    on the host core WHILE the TPU runs the RNN stage — the two-process
-    production layout of evaluate_model.py:158-237 — wall-clocked jointly.
+  * device pipeline: the RNN's device-resident posteriors go STRAIGHT into
+    the batched TPU beam search (HBM→HBM, no host round-trip — _prep_batch
+    keeps device arrays resident at canonical params, tested), including the
+    on-chip unpruned-LM pool rescore; zero host decode CPU;
+  * host-overlapped pipeline: the C++ decoder (ctypes, GIL released,
+    unpruned rescore included) decodes the SAME posteriors on the host core
+    WHILE the TPU runs stage 1 — the two-process production layout.
 
-Test utterances carry trained-model CTC temporal statistics
-(data/synthetic.ctc_logprobs); decode_exact counts top-1 exact sentence
-matches and search_errors counts misses where the TRUTH out-scored the
-output (real search failures vs model-optimal misses).
+Quality is measured on the same runs: exact-match, search errors (truth
+out-scored the output), and aggregate WER with bootstrap CI
+(evaluate_model.py:240-267) for both backends. Both backends decode
+IDENTICAL posteriors (same stage-1 keys).
 
 Baseline: the reference decodes ~1,450 trials in 15–20 min on an RTX 4090
-(evaluate_model.py:185) ≈ 1.38 sentences/s. Prints ONE JSON line.
+(evaluate_model.py:185) ≈ 1.38 sentences/s — including its rescoring path.
+Prints ONE JSON line.
+
+--adversarial switches to the homophone-dense CMUdict-statistics world
+(data/adversarial.py) with max_homophones 6.
 """
 
 from __future__ import annotations
@@ -38,7 +49,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import threading
 import time
 
@@ -48,6 +58,7 @@ import numpy as np
 # programs are slow and high-variance; cache hits make re-runs fast.
 os.makedirs(os.path.expanduser("~/.cache/jax_comp_cache"), exist_ok=True)
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
@@ -57,67 +68,51 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_SENTENCES_PER_SEC = 1450 / (17.5 * 60)  # mid of the 15–20 min window
 
 
-def make_rnn_chunk(B=64, T=400, S=8):
-    """Jitted full-size RNN stage: S batches of B sentences per device call,
-    inputs generated on device (the axon tunnel stays out of the number)."""
-    import jax.numpy as jnp
-
+def make_stage1(B: int, T: int):
+    """Jitted full-size stage 1: planted labels (B, T) int32 → device-resident
+    (B, P, 41) log-probs + a scalar checksum (the ONLY thing fetched when
+    timing stage 1 alone — big-buffer fetches through the axon tunnel are
+    slow and one-element reads can transfer whole buffers)."""
+    from b2txt_tpu.data.synthetic import phoneme_code
     from b2txt_tpu.models import gru_decoder
-    from b2txt_tpu.ops.ctc import greedy_decode_ids
-    from b2txt_tpu.ops.smoothing import gauss_smooth
+    from b2txt_tpu.models.planted import features_on_device, planted_params
+    from b2txt_tpu.ops.smoothing import gauss_smooth, gaussian_kernel
     from b2txt_tpu.utils import TrainConfig
 
     cfg = TrainConfig()
-    params = gru_decoder.init_params_from_config(
-        jax.random.PRNGKey(0), cfg.model, n_days=45, n_classes=41
-    )
+    code = jnp.asarray(phoneme_code(cfg.model.n_input_features))
+    params = planted_params(cfg.model, 45, np.asarray(code))
     dt = cfg.dataset.data_transforms
+    ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
+    P = (T - (ksize - 1) - cfg.model.patch_size) // cfg.model.patch_stride + 1
     day_idx = jnp.asarray(np.arange(B) % 45, jnp.int32)
-    use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def run_chunk(params, key):
-        def body(carry, k):
-            x = jax.random.normal(k, (B, T, 512), jnp.float32)
-            sm = gauss_smooth(
-                x, std=dt.smooth_kernel_std, size=dt.smooth_kernel_size,
-                padding="valid",
-            )
-            logits = gru_decoder.forward(
-                params, sm, day_idx,
-                patch_size=cfg.model.patch_size,
-                patch_stride=cfg.model.patch_stride,
-                compute_dtype=jnp.bfloat16,
-                use_pallas=use_pallas,
-            )
-            P = logits.shape[1]
-            ids = greedy_decode_ids(
-                logits.astype(jnp.float32), jnp.full((B,), P, jnp.int32)
-            )
-            return carry, ids
+    def run(labels, key):
+        x = features_on_device(code, labels, key, noise=0.3)
+        sm = gauss_smooth(x, std=dt.smooth_kernel_std,
+                          size=dt.smooth_kernel_size, padding="valid")
+        logits = gru_decoder.forward(
+            params, sm, day_idx,
+            patch_size=cfg.model.patch_size,
+            patch_stride=cfg.model.patch_stride,
+            compute_dtype=jnp.bfloat16,
+        )
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return lp, lp[:, 0, 0].sum()
 
-        _, ids = jax.lax.scan(body, 0, jax.random.split(key, S))
-        return ids
-
-    return run_chunk, params, B * S, {"batch": B, "bins_per_sentence": T,
-                                      "use_pallas_gru": use_pallas}
-
-
-def rnn_stage_rate(run_chunk, params, per_call):
-    np.asarray(run_chunk(params, jax.random.PRNGKey(0)))  # compile + warm
-    iters = 4
-    t0 = time.perf_counter()
-    for i in range(iters):
-        np.asarray(run_chunk(params, jax.random.PRNGKey(i)))
-    dt_s = time.perf_counter() - t0
-    return per_call * iters / dt_s
+    info = {"batch": B, "bins_per_sentence": T, "decode_frames": P,
+            "use_pallas_gru": jax.default_backend() == "tpu" and 16 <= B <= 128}
+    return run, P, info
 
 
 def build_world(vocab_size: int, order: int = 3, seed: int = 0,
-                prune_threshold: float = 3e-8):
-    """Synthetic decode world: vocab_size-word lexicon with full LM coverage,
-    natively-trained unpruned n-gram + weighted-difference-pruned decode LM
-    (the reference's G / G_no_prune pair)."""
+                prune_threshold: float = 3e-8, adversarial: bool = False):
+    """Synthetic decode world at reference scale: vocab_size-word lexicon
+    with full LM coverage, natively-trained unpruned n-gram +
+    weighted-difference-pruned decode LM (the reference's G / G_no_prune
+    pair). ``adversarial`` uses CMUdict homophone/collision statistics
+    (data/adversarial.py) instead of the unique-pronunciation vocabulary."""
     import tempfile
 
     from b2txt_tpu.lm import Lexicon
@@ -126,18 +121,24 @@ def build_world(vocab_size: int, order: int = 3, seed: int = 0,
     from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
 
     rng = np.random.default_rng(seed)
-    phones = LOGIT_TO_PHONEME[1:40]
-    words = {}
-    while len(words) < vocab_size:
-        # 3-9 phones (avg ~6) — CMUdict-like; 2-phone-heavy random vocabs
-        # create pathological homophone/prefix ambiguity no real lexicon has
-        # (the homophone-dense regime is covered by data/adversarial.py and
-        # tests/test_adversarial_decode.py)
-        L = rng.integers(3, 10)
-        pron = [phones[i] for i in rng.integers(0, 39, L)]
-        words["w" + "".join(p.lower() for p in pron)] = pron
+    stats = None
+    if adversarial:
+        from b2txt_tpu.data.adversarial import homophone_lexicon, lexicon_stats
+
+        words, wl = homophone_lexicon(rng, vocab_size)
+        stats = lexicon_stats(words)
+    else:
+        phones = LOGIT_TO_PHONEME[1:40]
+        words = {}
+        while len(words) < vocab_size:
+            # 3-9 phones (avg ~6) — CMUdict-like; 2-phone-heavy random vocabs
+            # create pathological homophone/prefix ambiguity no real lexicon
+            # has (that regime is --adversarial)
+            L = rng.integers(3, 10)
+            pron = [phones[i] for i in rng.integers(0, 39, L)]
+            words["w" + "".join(p.lower() for p in pron)] = pron
+        wl = list(words.keys())
     lex = Lexicon.from_words(words)
-    wl = list(words.keys())
 
     tmp = tempfile.mkdtemp()
     corpus_path = os.path.join(tmp, "corpus.txt")
@@ -159,23 +160,38 @@ def build_world(vocab_size: int, order: int = 3, seed: int = 0,
     with open(lexp, "w") as f:
         for w, p in words.items():
             f.write(f"{w.upper()}  {' '.join(p)}\n")
-    return lex, lm, wl, arpa, arpa_unpruned, lexp, rng
+    return lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng, stats
 
 
-def make_utts(lex, wl, rng, n: int, words_per: int = 6, noise: float = 0.3):
-    from b2txt_tpu.data.synthetic import ctc_logprobs
+def make_planted_utts(lex, wl, rng, n: int, T: int, phone_budget: int = 44):
+    """n utterances: (sentence, planted (T,) frame labels). Words are drawn
+    until the phone+SIL budget fills (~5-6 words/sentence at CMUdict-like
+    pronunciation lengths)."""
+    from b2txt_tpu.models.planted import plant_frame_labels
 
     out = []
-    for _ in range(n):
-        sw = [wl[i] for i in rng.integers(0, len(wl), words_per)]
-        ids = lex.sentence_to_phonemes(" ".join(sw))
-        out.append((" ".join(sw), ctc_logprobs(rng, ids, hot=12.0, noise=noise)))
+    while len(out) < n:
+        sent_words = []
+        ids: list = []
+        while True:
+            w = wl[int(rng.integers(0, len(wl)))]
+            wid = lex.word_ids[w]
+            n_ph = len(lex.prons[wid][0]) + 1
+            if ids and len(ids) + n_ph > phone_budget:
+                break
+            sent_words.append(w)
+            ids.extend(lex.prons[wid][0])
+            ids.append(40)  # SIL at word end
+        lab, n_planted = plant_frame_labels(rng, ids, T)
+        if n_planted != len(ids):
+            continue  # rare worst-case spacing draw — resample
+        out.append((" ".join(sent_words), lab))
     return out
 
 
-def score_results(cfg, utts, results):
+def score_results(cfg, sents, results):
     correct = search_errors = 0
-    for (sent, _), r in zip(utts, results):
+    for sent, r in zip(sents, results):
         if r and r[0].sentence == sent:
             correct += 1
         elif r:
@@ -188,13 +204,26 @@ def score_results(cfg, utts, results):
     return correct, search_errors
 
 
+def aggregate_wer(sents, results):
+    from b2txt_tpu.utils.metrics import calculate_aggregate_error_rate
+
+    refs = [s.split() for s in sents]
+    hyps = [(r[0].sentence.split() if r else []) for r in results]
+    agg, lo, hi, _ = calculate_aggregate_error_rate(refs, hyps, seed=0)
+    return agg, lo, hi
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--order", type=int, default=3, choices=[2, 3, 4, 5])
     p.add_argument("--vocab", type=int, default=125_000)
     p.add_argument("--utts", type=int, default=512)
     p.add_argument("--device_batch", type=int, default=128)
+    p.add_argument("--bins", type=int, default=520)
+    p.add_argument("--adversarial", action="store_true")
+    p.add_argument("--max_homophones", type=int, default=None)
     args = p.parse_args()
+    max_h = args.max_homophones or (6 if args.adversarial else 4)
 
     from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
     from b2txt_tpu.runtime import NativeLexiconBeamSearch
@@ -205,37 +234,68 @@ def main() -> None:
         beam_width=96, beam=17.0, first_beam_size=8,
         sum_mode=False,  # Kaldi token-passing (Viterbi) ranking, as reference
     )
+    B, T = args.device_batch, args.bins
 
-    # ---- stage 1: RNN on chip
-    run_chunk, params, per_call, rnn_info = make_rnn_chunk()
-    rnn_rate = rnn_stage_rate(run_chunk, params, per_call)
+    # ---- stage 1: full-size RNN on chip
+    run1, P, rnn_info = make_stage1(B, T)
 
     # ---- decode world at reference scale
     t0 = time.perf_counter()
-    lex, lm, wl, arpa, arpa_unpruned, lexp, rng = build_world(
-        args.vocab, args.order
-    )
+    (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng,
+     lex_stats) = build_world(args.vocab, args.order,
+                              adversarial=args.adversarial)
     build_s = time.perf_counter() - t0
-    utts = make_utts(lex, wl, rng, args.utts)
+    utts = make_planted_utts(lex, wl, rng, args.utts, T)
+    words_per = float(np.mean([len(s.split()) for s, _ in utts]))
 
-    # ---- host C++ decoder: isolated rate + quality
+    # batches: (labels (B,T), n_real, sentences); padding rows repeat row 0
+    # and are decoded but never counted (throughput counts REAL utterances)
+    batches = []
+    for start in range(0, len(utts), B):
+        chunk = utts[start : start + B]
+        lab = np.stack([l for _, l in chunk]
+                       + [chunk[0][1]] * (B - len(chunk)))
+        batches.append((lab, len(chunk), [s for s, _ in chunk]))
+    keys = [jax.random.PRNGKey(1000 + j) for j in range(len(batches))]
+    plens = np.full((B,), P, np.int32)
+    all_sents = [s for _, _, sents in batches for s in sents]
+
+    # ---- stage-1 isolated rate (checksum-only sync)
+    _, c = run1(batches[0][0], keys[0])
+    float(np.asarray(c))  # compile + warm
     t0 = time.perf_counter()
-    native = NativeLexiconBeamSearch(arpa, lexp, cfg,
+    cs = [run1(lab, keys[j])[1] for j, (lab, _, _) in enumerate(batches)]
+    _ = [float(np.asarray(c)) for c in cs]
+    rnn_rate = len(utts) / (time.perf_counter() - t0)
+
+    # ---- fetch stage-1 posteriors ONCE for the host decoder (untimed);
+    # the same keys reproduce them on-device for the connected pipeline,
+    # so both backends decode identical posteriors
+    host_logits = []
+    for j, (lab, n_real, _) in enumerate(batches):
+        lp, _ = run1(lab, keys[j])
+        arr = np.asarray(lp)
+        host_logits.extend(arr[i] for i in range(n_real))
+
+    # ---- host C++ decoder (unpruned rescore included): isolated rate
+    t0 = time.perf_counter()
+    native = NativeLexiconBeamSearch(arpa, lexp, cfg, max_homophones=max_h,
                                      rescore_arpa=arpa_unpruned)
     native_load_s = time.perf_counter() - t0
 
-    def native_decode_all():
+    def native_decode(logits_list):
         out = []
-        for _, lp in utts:
+        for lp in logits_list:
             native.reset()
             native.decode(lp)
             out.append(native.finish_decoding())
         return out
 
     t0 = time.perf_counter()
-    nat_results = native_decode_all()
+    nat_results = native_decode(host_logits)
     native_rate = len(utts) / (time.perf_counter() - t0)
-    nat_correct, nat_serr = score_results(cfg, utts, nat_results)
+    nat_correct, nat_serr = score_results(cfg, all_sents, nat_results)
+    nat_wer, nat_lo, nat_hi = aggregate_wer(all_sents, nat_results)
 
     # ---- host-overlapped pipeline: C++ decode WHILE the TPU runs stage 1.
     # Bounded to 128 utterances: thread scheduling through the axon tunnel
@@ -247,7 +307,7 @@ def main() -> None:
 
     def worker():
         t0 = time.perf_counter()
-        for _, lp in utts[:n_ov]:
+        for lp in host_logits[:n_ov]:
             native.reset()
             native.decode(lp)
             native.finish_decoding()
@@ -259,97 +319,115 @@ def main() -> None:
     t0 = time.perf_counter()
     i = 0
     while th.is_alive():
-        np.asarray(run_chunk(params, jax.random.PRNGKey(100 + i)))
-        rnn_done += per_call
+        _, c = run1(batches[i % len(batches)][0], jax.random.PRNGKey(7000 + i))
+        float(np.asarray(c))
+        rnn_done += batches[i % len(batches)][1]
         i += 1
     th.join()
     wall = time.perf_counter() - t0
-    # joint throughput: both stages processed >= n_ov sentences
     host_overlapped = min(n_ov, rnn_done) / wall if rnn_done else 0.0
 
-    # ---- device searcher: batched decode on the chip + quality
+    # ---- device searcher (on-chip unpruned pool rescore attached)
     t0 = time.perf_counter()
-    dev = DeviceLexiconBeamSearch(lex, lm, cfg)
+    dev = DeviceLexiconBeamSearch(lex, lm, cfg, max_homophones=max_h,
+                                  rescore_lm=lm_unpruned)
     dev_build_s = time.perf_counter() - t0
-    B = args.device_batch
-    T = max(lp.shape[0] for _, lp in utts)
-    batches = []
-    for start in range(0, len(utts), B):
-        chunk = utts[start : start + B]
-        while len(chunk) < B:
-            chunk = chunk + [chunk[0]]
-        lens = np.array([lp.shape[0] for _, lp in chunk], np.int32)
-        arr = np.full((B, T, 41), -20.0, np.float32)
-        for k, (_, lp) in enumerate(chunk):
-            arr[k, : lp.shape[0]] = lp
-        batches.append((arr, lens, chunk))
 
+    # warm/compile the connected path end to end
     t0 = time.perf_counter()
-    dev.decode_batch(batches[0][0], batches[0][1])  # compile + warm
+    lp_dev, _ = run1(batches[0][0], keys[0])
+    dev._collect_batch(dev._dispatch_batch(lp_dev, plens))
     dev_compile_s = time.perf_counter() - t0
+
+    # ---- device-decode isolated rate: posteriors pre-staged in HBM
+    staged = []
+    for j, (lab, n_real, _) in enumerate(batches):
+        lp_dev, _ = run1(lab, keys[j])
+        staged.append(lp_dev)
     dev_results = []
     t0 = time.perf_counter()
-    for (arr, lens, chunk), res in zip(
-        batches, dev.decode_batches([(a, l) for a, l, _ in batches])
+    for (lab, n_real, _), res in zip(
+        batches, dev.decode_batches([(lp, plens) for lp in staged])
     ):
-        dev_results.extend(res[: len(chunk)])
+        dev_results.extend(res[:n_real])
     device_rate = len(utts) / (time.perf_counter() - t0)
-    dev_correct, dev_serr = score_results(cfg, utts, dev_results)
+    dev_correct, dev_serr = score_results(cfg, all_sents, dev_results)
+    dev_wer, dev_lo, dev_hi = aggregate_wer(all_sents, dev_results)
+    del staged
 
-    # ---- device pipeline: RNN + device beam search back-to-back on the chip
-    # (the RNN chunk is sized to the decode batch so each loop iteration
-    # pushes the SAME sentences through both stages' worth of work)
-    run_pipe, _, per_pipe, _ = make_rnn_chunk(B=64, T=400,
-                                              S=max(1, B // 64))
-    np.asarray(run_pipe(params, jax.random.PRNGKey(199)))  # compile
+    # ---- CONNECTED device pipeline: stage 1 → HBM → stage 2, one stream.
+    # Each loop iteration regenerates batch j's posteriors on device (same
+    # keys as the quality runs) and dispatches the beam search on that
+    # device-resident array; batch j-1's host extraction overlaps batch j's
+    # device work (software pipelining). No logits ever cross the host link.
     n_pipe = 0
     pending = None
+    pending_n = 0
+    pipe_results = []
     t0 = time.perf_counter()
-    for j, (arr, lens, chunk) in enumerate(batches):
-        np.asarray(run_pipe(params, jax.random.PRNGKey(200 + j)))
-        handle = dev._dispatch_batch(arr, lens)
+    for j, (lab, n_real, _) in enumerate(batches):
+        lp_dev, _ = run1(lab, keys[j])
+        handle = dev._dispatch_batch(lp_dev, plens)
         if pending is not None:
-            dev._collect_batch(pending)
-        pending = handle
-        n_pipe += len(chunk)
+            pipe_results.extend(dev._collect_batch(pending)[:pending_n])
+        pending, pending_n = handle, n_real
+        n_pipe += n_real
     if pending is not None:
-        dev._collect_batch(pending)
+        pipe_results.extend(dev._collect_batch(pending)[:pending_n])
     device_pipeline = n_pipe / (time.perf_counter() - t0)
+    # connected-output quality must equal the staged decode (same posteriors)
+    pipe_correct, _ = score_results(cfg, all_sents, pipe_results)
 
     headline = max(device_pipeline, host_overlapped)
     mode = ("device" if device_pipeline >= host_overlapped else
             "host-overlapped")
+
+    extra = {
+        "headline_mode": mode,
+        "connected": True,
+        "device_pipeline_sentences_per_sec": round(device_pipeline, 2),
+        "host_overlapped_sentences_per_sec": round(host_overlapped, 2),
+        "rnn_stage_sentences_per_sec": round(rnn_rate, 2),
+        "native_isolated_sentences_per_sec": round(native_rate, 2),
+        "device_decode_sentences_per_sec": round(device_rate, 2),
+        "device_exact": f"{dev_correct}/{len(utts)}",
+        "device_pipeline_exact": f"{pipe_correct}/{len(utts)}",
+        "device_search_errors": dev_serr,
+        "native_exact": f"{nat_correct}/{len(utts)}",
+        "native_search_errors": nat_serr,
+        "device_wer": round(dev_wer, 4),
+        "device_wer_ci": [round(dev_lo, 4), round(dev_hi, 4)],
+        "native_wer": round(nat_wer, 4),
+        "native_wer_ci": [round(nat_lo, 4), round(nat_hi, 4)],
+        "backend": jax.default_backend(),
+        "vocab": args.vocab, "order": args.order,
+        "beam_width": cfg.beam_width, "nbest": cfg.nbest,
+        "first_beam": cfg.first_beam_size, "merge": "viterbi",
+        "blank_penalty": cfg.blank_penalty,
+        "acoustic_scale": cfg.acoustic_scale,
+        "max_homophones": max_h,
+        "rescore": {
+            "device": f"unpruned-{args.order}gram pool rescore ON-CHIP",
+            "native": f"unpruned-{args.order}gram pool rescore (host)",
+        },
+        "utts": len(utts),
+        "words_per_sentence": round(words_per, 2),
+        "build_s": round(build_s, 1),
+        "native_load_s": round(native_load_s, 2),
+        "device_build_s": round(dev_build_s, 1),
+        "device_compile_s": round(dev_compile_s, 1),
+        **rnn_info,
+    }
+    if args.adversarial:
+        extra["adversarial"] = True
+        extra["lexicon_stats"] = lex_stats
 
     print(json.dumps({
         "metric": "pipeline_sentences_per_sec",
         "value": round(headline, 2),
         "unit": "sentences/s",
         "vs_baseline": round(headline / BASELINE_SENTENCES_PER_SEC, 2),
-        "extra": {
-            "headline_mode": mode,
-            "device_pipeline_sentences_per_sec": round(device_pipeline, 2),
-            "host_overlapped_sentences_per_sec": round(host_overlapped, 2),
-            "rnn_greedy_sentences_per_sec": round(rnn_rate, 2),
-            "native_isolated_sentences_per_sec": round(native_rate, 2),
-            "device_decode_sentences_per_sec": round(device_rate, 2),
-            "device_exact": f"{dev_correct}/{len(utts)}",
-            "device_search_errors": dev_serr,
-            "native_exact": f"{nat_correct}/{len(utts)}",
-            "native_search_errors": nat_serr,
-            "backend": jax.default_backend(),
-            "vocab": args.vocab, "order": args.order,
-            "beam_width": cfg.beam_width, "nbest": cfg.nbest,
-            "first_beam": cfg.first_beam_size, "merge": "viterbi",
-            "blank_penalty": cfg.blank_penalty,
-            "acoustic_scale": cfg.acoustic_scale,
-            "rescore": f"unpruned-{args.order}gram (host stage)",
-            "utts": len(utts),
-            "build_s": round(build_s, 1),
-            "native_load_s": round(native_load_s, 2),
-            "device_build_s": round(dev_build_s, 1),
-            "device_compile_s": round(dev_compile_s, 1),
-            **rnn_info,
-        },
+        "extra": extra,
     }))
 
 

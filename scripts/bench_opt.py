@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""OPT-6.7b executed at FULL scale on the chip + finalize-path throughput.
+
+The reference runs facebook/opt-6.7b fp16 on a second GPU inside its
+production decode loop (language-model-standalone.py:92-161, :567-660); its
+0.6-0.8 s/sentence baseline INCLUDES ngram rescore + augment_nbest + OPT
+rescoring (model_training/evaluate_model.py:185). This drive measures the
+TPU-native equivalents at the same scale:
+
+  stage A: full-shape OPT-6.7b forward, bf16, weights initialized ON DEVICE
+           (random — the real checkpoint is not downloadable in this image;
+           compute cost is weight-value independent) → tokens/s + HBM use.
+  stage B: OPTRescorer.score over 100-candidate n-best lists (the canonical
+           nbest — README.md:37) → OPT-rescore sentences/s.
+  stage C: --full: the whole finalize pipeline at reference scale — planted
+           full-size RNN → device beam search (unpruned pool rescore on
+           chip) → augment_nbest → α-blended OPT rescore (DecoderService
+           device backend) → sentences/s.
+
+Run on the real chip:  nohup timeout 3000 python scripts/bench_opt.py --full \
+                         > /tmp/bench_opt.log 2>&1 &
+Prints one JSON line per stage.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+os.makedirs(os.path.expanduser("~/.cache/jax_comp_cache"), exist_ok=True)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def word_hash_encode(vocab_size: int):
+    """Stable ~1-token-per-word encoder for throughput drives with random
+    weights: matches GPT2-BPE's token COUNT on short hypotheses (~1.3
+    tokens/word) without needing the (undownloadable) vocab files. Real
+    deployments pass utils.bpe.ByteBPE.for_opt(...) instead."""
+
+    def enc(text: str, max_len: int):
+        ids = [2]  # OPT BOS
+        for w in text.split():
+            ids.append((hash(w) % (vocab_size - 10)) + 10)
+        return ids[:max_len]
+
+    return enc
+
+
+def stage_a_forward(cfg, params, reps: int = 8):
+    from b2txt_tpu.decode import opt_lm
+
+    shapes = [(32, 32), (8, 128)]
+    out = {}
+    for B, L in shapes:
+        tokens = jnp.asarray(np.random.randint(0, cfg.vocab_size, (B, L)),
+                             jnp.int32)
+        mask = jnp.ones((B, L), jnp.float32)
+
+        @jax.jit
+        def fwd(p, t, m):
+            logits = opt_lm.forward(p, t, m, cfg, compute_dtype=jnp.bfloat16)
+            return logits[:, -1, :8].sum()  # scalar sync, no big fetch
+
+        t0 = time.perf_counter()
+        float(np.asarray(fwd(params, tokens, mask)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(np.asarray(fwd(params, tokens, mask)))
+        dt = (time.perf_counter() - t0) / reps
+        flops = 2 * 6.66e9 * B * L  # 2·params·tokens (matmul-dominated)
+        out[f"fwd_B{B}_L{L}"] = {
+            "ms": round(dt * 1e3, 1),
+            "tokens_per_s": round(B * L / dt, 1),
+            "compile_s": round(compile_s, 1),
+            "mfu_est": round(flops / dt / 197e12, 3),  # v5e bf16 peak 197 TF/s
+        }
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", action="store_true",
+                   help="stage C: end-to-end finalize pipeline at scale")
+    p.add_argument("--vocab", type=int, default=125_000)
+    p.add_argument("--utts", type=int, default=64)
+    p.add_argument("--device_batch", type=int, default=64)
+    p.add_argument("--nbest", type=int, default=100)
+    args = p.parse_args()
+
+    from b2txt_tpu.decode.opt_lm import OPTConfig, OPTRescorer, init_params
+
+    cfg = OPTConfig.opt_6_7b()
+    n_params = (cfg.vocab_size * cfg.hidden_size
+                + (cfg.max_position_embeddings + 2) * cfg.hidden_size
+                + cfg.num_layers * (4 * (cfg.hidden_size ** 2 + cfg.hidden_size)
+                                    + 2 * cfg.hidden_size * cfg.ffn_dim
+                                    + cfg.ffn_dim + cfg.hidden_size
+                                    + 4 * cfg.hidden_size)
+                + 2 * cfg.hidden_size)
+
+    # ---- stage A: init ON DEVICE (a 13.3 GB host->device transfer through
+    # the axon tunnel would take ~10 min; on-device init is free)
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda key: init_params(key, cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params["ln_f"]["g"])
+    float(np.asarray(params["ln_f"]["g"][0]))  # scalar sync through tunnel
+    init_s = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "A_opt67b_forward",
+        "backend": jax.default_backend(),
+        "params": n_params,
+        "hbm_gb_bf16": round(n_params * 2 / 2**30, 2),
+        "init_s": round(init_s, 1),
+        **stage_a_forward(cfg, params),
+    }), flush=True)
+
+    # ---- stage B: 100-candidate n-best scoring
+    enc = word_hash_encode(cfg.vocab_size)
+    resc = OPTRescorer(cfg, params=params, encode=enc,
+                       compute_dtype=jnp.bfloat16, max_len=32)
+    rng = np.random.default_rng(0)
+    wordpool = [f"word{i}" for i in range(3000)]
+    nbests = []
+    for _ in range(8):
+        base = [wordpool[i] for i in rng.integers(0, 3000, 6)]
+        cands = []
+        for _ in range(args.nbest):
+            c = list(base)
+            c[rng.integers(0, len(c))] = wordpool[rng.integers(0, 3000)]
+            cands.append(" ".join(c))
+        nbests.append(cands)
+    t0 = time.perf_counter()
+    resc.score(nbests[0])  # compile
+    b_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for cands in nbests:
+        resc.score(cands)
+    dt = (time.perf_counter() - t0) / len(nbests)
+    print(json.dumps({
+        "stage": "B_opt_rescore_nbest",
+        "nbest": args.nbest,
+        "tokens_per_list": int(np.mean([sum(len(enc(c, 32)) for c in cs)
+                                        for cs in nbests])),
+        "s_per_sentence": round(dt, 3),
+        "opt_rescore_sentences_per_s": round(1.0 / dt, 2),
+        "compile_s": round(b_compile, 1),
+    }), flush=True)
+
+    if not args.full:
+        return
+
+    # ---- stage C: decode -> on-chip unpruned rescore -> augment -> OPT
+    # blend, end to end at reference scale (the reference's full finalize,
+    # standalone :567-660)
+    import bench as BW
+    from b2txt_tpu.serve.service import DecoderService
+    from b2txt_tpu.utils.config import DecodeConfig
+
+    dcfg = DecodeConfig(
+        acoustic_scale=0.325, blank_penalty=90.0, nbest=args.nbest,
+        beam_width=96, beam=17.0, first_beam_size=8, sum_mode=False,
+        rescore=True, do_opt=True, alpha=0.55,
+    )
+    B, T = args.device_batch, 520
+    t0 = time.perf_counter()
+    (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng2,
+     _) = BW.build_world(args.vocab, 3)
+    build_s = time.perf_counter() - t0
+    utts = BW.make_planted_utts(lex, wl, rng2, args.utts, T)
+    run1, P, _ = BW.make_stage1(B, T)
+
+    svc = DecoderService(lex, lm, dcfg, rescore_lm=lm_unpruned, llm=resc,
+                         channel_order="model", searcher_backend="device")
+
+    batches, sizes, sents = [], [], []
+    plens = np.full((B,), P, np.int32)
+    for start in range(0, len(utts), B):
+        chunk = utts[start : start + B]
+        lab = np.stack([l for _, l in chunk] + [chunk[0][1]] * (B - len(chunk)))
+        lp_dev, _ = run1(jnp.asarray(lab), jax.random.PRNGKey(5000 + start))
+        batches.append((lp_dev, plens))
+        sizes.append(len(chunk))
+        sents.extend(s for s, _ in chunk)
+
+    # warm/compile the whole path on batch 0
+    t0 = time.perf_counter()
+    svc.decode_batched_utterances(batches[:1], sizes[:1])
+    warm_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = svc.decode_batched_utterances(batches, sizes)
+    wall = time.perf_counter() - t0
+    correct = sum(o.sentence == s for o, s in zip(outs, sents))
+    print(json.dumps({
+        "stage": "C_full_finalize_pipeline",
+        "utts": len(sents),
+        "vocab": args.vocab,
+        "finalize_sentences_per_s": round(len(sents) / wall, 2),
+        "s_per_sentence": round(wall / len(sents), 3),
+        "exact": f"{correct}/{len(sents)}",
+        "includes": "device decode + on-chip unpruned rescore + "
+                    "augment_nbest + OPT-6.7b alpha-blend",
+        "world_build_s": round(build_s, 1),
+        "warm_s": round(warm_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -2,18 +2,106 @@
 """Training throughput at the reference's full configuration.
 
 Reference baseline: 120k batches in ~3.5 h on an RTX 4090
-(model_training/README.md:23) ≈ 9.5 steps/s at batch 64. This measures the
-jitted train step (augmentations → bf16 forward → CTC → 3-group AdamW update)
-on one TPU chip with on-device synthetic batches, and projects the 120k-batch
-wall-clock.
+(model_training/README.md:23) ≈ 9.5 steps/s at batch 64 — INCLUDING its
+4-worker HDF5 DataLoader (rnn_trainer.py:511-524). Two measurements here:
+
+  * device-step rate (default): the jitted train step (augmentations → bf16
+    forward → CTC → 3-group AdamW update) with on-device synthetic batches —
+    the CANONICAL number is the chained-sync rate (N data-dependent steps,
+    one final fetch); the per-step-synced rate is reported alongside (it
+    bills the axon tunnel's ~25 ms RTT to every step).
+  * --full_input: the WHOLE input pipeline — reference-layout HDF5 sessions
+    on disk → days-per-batch sampler → host loader → prefetch thread →
+    device_put → the Trainer's own jitted step — apples-to-apples with the
+    reference's DataLoader-included 9.5 steps/s.
 """
 
+import argparse
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+
+def full_input_rate(n_steps: int = 160) -> None:
+    """HDF5 → sampler → prefetch → device_put → Trainer step, full shapes."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from b2txt_tpu.data import synthetic
+    from b2txt_tpu.data.loader import prefetch_iterator
+    from b2txt_tpu.train import Trainer
+    from b2txt_tpu.utils import TrainConfig
+
+    tmp = tempfile.mkdtemp(prefix="b2t_train_bench_")
+    sessions = [f"t15.2024.01.{d:02d}" for d in range(1, 7)]
+    t0 = time.perf_counter()
+    # reference-length utterances: ~9 words x ~5 phones+SIL x 8 frames ≈ 380
+    # bins at the full 512-feature width
+    synthetic.write_synthetic_sessions(
+        tmp, sessions, trials_per_session=96, neural_dim=512,
+        min_words=7, max_words=11,
+    )
+    write_s = time.perf_counter() - t0
+
+    cfg = TrainConfig()
+    cfg.dataset.sessions = sessions
+    cfg.dataset.dataset_probability_val = [1] * len(sessions)
+    cfg.dataset.dataset_dir = tmp
+    cfg.num_training_batches = n_steps + 20
+    cfg.batches_per_val_step = 10 ** 9
+    cfg.batches_per_train_log = 10 ** 9
+    cfg.output_dir = tmp + "/out"
+    cfg.checkpoint_dir = tmp + "/out/ckpt"
+    cfg.save_best_checkpoint = False
+    cfg.save_final_model = False
+
+    trainer = Trainer(cfg)
+    it = prefetch_iterator(trainer.train_loader)
+    base_key = jax.random.PRNGKey(0)
+
+    def step(i, batch):
+        key = jax.random.fold_in(base_key, i)
+        out = trainer._train_step(
+            trainer.params, trainer.opt_state, key,
+            jnp.asarray(batch["input_features"]),
+            jnp.asarray(batch["seq_class_ids"]),
+            jnp.asarray(batch["n_time_steps"]),
+            jnp.asarray(batch["phone_seq_lens"]),
+            jnp.asarray(batch["day_indicies"]),
+        )
+        trainer.params, trainer.opt_state = out[0], out[1]
+        return out[2]
+
+    # warm: compile every T bucket the loader emits before timing
+    warm = 20
+    losses = []
+    t_compile = time.perf_counter()
+    for i, batch in enumerate(it):
+        loss = step(i, batch)
+        if i < warm:
+            float(loss)  # sync through each warm step (compiles)
+            if i == warm - 1:
+                t0 = time.perf_counter()
+                n0 = i + 1
+            continue
+        losses.append(loss)
+        if len(losses) >= 64:   # chunked sync, as Trainer.train does
+            _ = [float(l) for l in losses]
+            losses.clear()
+    _ = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    n = cfg.num_training_batches - n0
+    print(f"full-input-path train steps/s: {n / dt:.2f} "
+          f"(B={cfg.dataset.batch_size}, HDF5+sampler+prefetch+device_put+step;"
+          f" reference w/ DataLoader: ~9.5 steps/s)")
+    print(f"  warmup/compile {time.perf_counter() - t_compile - dt:.1f}s, "
+          f"session write {write_s:.1f}s, "
+          f"projected 120k batches: {120000 / (n / dt) / 3600:.2f} h")
 
 
 def main() -> None:
@@ -101,4 +189,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full_input", action="store_true")
+    ap.add_argument("--steps", type=int, default=160)
+    a = ap.parse_args()
+    if a.full_input:
+        full_input_rate(a.steps)
+    else:
+        main()

@@ -144,3 +144,42 @@ def test_native_decoder_through_harness(trained, tmp_path):
         sessions=SESSIONS[:1], decoder=decoder,
     )
     assert out["WER"] < 0.4, f"native-decoder WER too high: {out['WER']:.3f}"
+
+
+def test_device_resident_harness_matches_host_path(trained):
+    """device_resident=True: posteriors stay in HBM and feed the device
+    searcher directly (only argmax ids are fetched); per-trial outputs match
+    the host-path eval exactly."""
+    data_dir, cfg, params = trained
+    lexicon = Lexicon.from_words(synthetic.word_pronunciations())
+    lm = train_ngram(synthetic.sentence_corpus(100), order=3)
+    dcfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10,
+                        beam_width=48)
+    decoder = DecoderService(lexicon, lm, dcfg, channel_order="model",
+                             searcher_backend="device")
+    a = evaluate_sessions(params, cfg, data_dir, eval_type="val",
+                          sessions=SESSIONS[:1], decoder=decoder,
+                          device_resident=True)
+    b = evaluate_sessions(params, cfg, data_dir, eval_type="val",
+                          sessions=SESSIONS[:1], decoder=decoder)
+    assert len(a["trials"]) == len(b["trials"])
+    for ta, tb in zip(a["trials"], b["trials"]):
+        assert ta.logits is None and tb.logits is not None
+        assert ta.decoded_ids == tb.decoded_ids
+        assert ta.decoded_sentence == tb.decoded_sentence
+    assert abs(a["greedy_PER"] - b["greedy_PER"]) < 1e-12
+    assert abs(a["WER"] - b["WER"]) < 1e-12
+
+
+def test_device_resident_requires_device_backend(trained):
+    data_dir, cfg, params = trained
+    lexicon = Lexicon.from_words(synthetic.word_pronunciations())
+    lm = train_ngram(synthetic.sentence_corpus(30), order=2)
+    decoder = DecoderService(
+        lexicon, lm, DecodeConfig(nbest=5, beam_width=16),
+        channel_order="model",
+    )
+    with pytest.raises(ValueError):
+        evaluate_sessions(params, cfg, data_dir, eval_type="val",
+                          sessions=SESSIONS[:1], decoder=decoder,
+                          device_resident=True)
