@@ -137,13 +137,23 @@ class TrieArrays:
         # are identical whenever the cap covers the actual maximum
         H = max(1, min(max_homophones, int(counts.max(initial=1))))
         # vectorized CSR → (n_nodes, H) scatter (a python per-node loop costs
-        # minutes at the 125k-word scale)
+        # minutes at the 125k-word scale). Within each node the class members
+        # are ordered by DESCENDING unigram log-prob first, so a cap below
+        # the real class size drops the least-likely homophones (the
+        # homophone-dense quality/speed knob — see DESIGN.md round-4).
+        uni_of_word = np.asarray(uni_logp)[
+            np.clip(lexicon.word_list, 0, None)]
+        order = np.lexsort(
+            (-uni_of_word,
+             np.repeat(np.arange(n_nodes, dtype=np.int64), counts))
+        )
+        word_list = lexicon.word_list[order]
         words_at = np.full((n_nodes, H), -1, np.int32)
         node_of = np.repeat(np.arange(n_nodes, dtype=np.int64), counts)
-        pos = (np.arange(len(lexicon.word_list), dtype=np.int64)
+        pos = (np.arange(len(word_list), dtype=np.int64)
                - np.repeat(lexicon.word_offsets[:-1].astype(np.int64), counts))
         keep = pos < H
-        words_at[node_of[keep], pos[keep]] = lexicon.word_list[keep]
+        words_at[node_of[keep], pos[keep]] = word_list[keep]
         dropped = int(np.maximum(counts - H, 0).sum())
 
         la32 = np.asarray(la, np.float32)

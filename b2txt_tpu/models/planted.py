@@ -45,9 +45,17 @@ from ..utils.config import ModelConfig
 # layer-1 detector pre-activation for the true class (tanh(1.5) ≈ 0.905)
 _TARGET_PREACT = 1.5
 # pass-through layers keep tanh near-linear for the small off-class values;
-# the winner contracts 0.905 → tanh³(0.905) ≈ 0.55, recovered by the head
-_HEAD_GAIN = 25.0
-_BLANK_BIAS = 8.0
+# the winner contracts 0.905 → tanh³(0.905) ≈ 0.55, recovered by the head.
+# Gains calibrated on the 125k bench world so deletion economics match a
+# trained model: with gain 45 / blank bias 12 a hot frame prices "emit blank
+# instead" at ~0.325·(12+log 90) ≈ 5.3 nats — skipping a 1-2-frame phoneme
+# (~8-11 nats) costs more than the ~11.7-nat LM saving of dropping one
+# 125k-vocab word PLUS its SIL (~16 nats total), so word-merge parses lose,
+# as they do under the reference's trained posteriors. (At the earlier gain
+# 25 the beam search correctly preferred fewer-word parses: 370/512 exact
+# with only 1 search error — a fixture property, not a searcher bug.)
+_HEAD_GAIN = 45.0
+_BLANK_BIAS = 12.0
 
 
 def planted_params(
