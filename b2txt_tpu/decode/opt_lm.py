@@ -298,7 +298,11 @@ class OPTRescorer:
         ids = [self.encode(t, self.max_len) for t in texts]
         L = max(32, max((len(i) for i in ids), default=1))
         L = min(self.max_len, -(-L // 32) * 32)
-        B = -(-n // self._pad_to) * self._pad_to
+        # bucket the batch too: augment_nbest makes candidate counts vary per
+        # utterance, and every distinct (B, L) would recompile the full-size
+        # forward (minutes at 6.7b through the remote compiler)
+        B = max(32, -(-n // 32) * 32)
+        B = -(-B // self._pad_to) * self._pad_to
         tokens = np.zeros((B, L), np.int32)
         mask = np.zeros((B, L), np.float32)
         for i, seq in enumerate(ids):

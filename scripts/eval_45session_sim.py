@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--searcher", default="native",
                    choices=["native", "device", "python"],
                    help="LM beam-search backend for stage 2")
+    p.add_argument("--device_resident", action="store_true",
+                   help="keep posteriors in HBM end to end (device searcher "
+                        "only): only greedy argmax ids are fetched, stage 2 "
+                        "consumes the stage-1 device arrays directly")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -92,6 +96,7 @@ def main() -> None:
     res = evaluate_sessions(
         params, cfg, out, eval_type="val", decoder=decoder,
         compute_dtype=jnp.bfloat16,
+        device_resident=args.device_resident,
     )
     wall = time.time() - t0
     n = len(res["trials"])

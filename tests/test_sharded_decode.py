@@ -83,17 +83,38 @@ def test_sharded_matches_single_device(world):
         )
 
 
-def test_table_actually_shards(world):
-    """Each device must hold 1/D of the bucket rows — the capacity claim."""
+def test_table_actually_shards(world, monkeypatch):
+    """The capacity claim, verified against the CODE UNDER TEST: intercept
+    sharded_decode_batch's own device_put and check the table it places is
+    row-sharded 1/D per device over the decode mesh."""
     dev, arr, lens, sents = world
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("data",))
     packed, cap = dev.dev_lm.table
-    from jax.sharding import NamedSharding
 
-    table = jax.device_put(packed, NamedSharding(mesh, P("data", None)))
+    placed = []
+    real_put = jax.device_put
+
+    def spy_put(x, sharding=None, **kw):
+        out = real_put(x, sharding, **kw)
+        placed.append((x, sharding, out))
+        return out
+
+    import b2txt_tpu.decode.lmbeam_jax as M
+
+    monkeypatch.setattr(M.jax, "device_put", spy_put)
+    dev.sharded_decode_batch(arr, lens, mesh=mesh, axis="data")
+    monkeypatch.undo()
+
+    tables = [
+        (x, out) for x, _, out in placed
+        if getattr(x, "shape", None) == tuple(packed.shape)
+    ]
+    assert tables, "sharded_decode_batch never device_put the bucket table"
+    _, table = tables[0]
     shard_rows = {s.data.shape[0] for s in table.addressable_shards}
     assert shard_rows == {packed.shape[0] // 8}
+    assert {s.device for s in table.addressable_shards} == set(devices)
 
 
 def test_uneven_batch_rejected(world):
