@@ -267,12 +267,17 @@ class DeviceLexiconBeamSearch:
         max_homophones: int = 4,
         dev_lm: Optional[DeviceNGram] = None,
         rescore_lm=None,
+        close_probe_top: Optional[int] = None,
     ):
         """Pass either a host NGramLM (packed onto the device here) or a
         prebuilt DeviceNGram (``dev_lm`` — the from_arpa_streaming path for
         LMs too large to hold as host dicts). ``rescore_lm`` (NGramLM or
         DeviceNGram) enables unpruned-LM finalize rescoring — see
-        attach_rescore_lm."""
+        attach_rescore_lm. ``close_probe_top`` probes the n-gram tables for
+        only the top-C unigram-ranked homophones per close (the homophone-
+        dense speed knob; tail slots take the exact backoff-chain score —
+        see DeviceNGram.logp_words n_exact); use with rescore_lm so
+        surviving candidates regain exact scores."""
         self.lexicon = lexicon
         self.config = config or DecodeConfig()
         self.blank = blank
@@ -281,6 +286,7 @@ class DeviceLexiconBeamSearch:
         self.dev_lm = dev_lm if dev_lm is not None else DeviceNGram.build(
             lm, lexicon
         )
+        self.close_top = close_probe_top
         # LM lookahead smearing over the trie (see lmbeam.py) — ranking only,
         # cancels at word close.
         if lm is not None:
@@ -555,9 +561,11 @@ class DeviceLexiconBeamSearch:
         # one logp_words call per beam: context hashing + backoff probes run
         # once per K, gram probes per (K, H); level-0 unigram log-probs come
         # precomputed from node_pack (zero extra gathers)
-        wlp = jax.vmap(self.dev_lm.logp_words)(
-            state.ctx, jnp.maximum(wids, 0), uni_w
-        )                                             # (K, H)
+        wlp = jax.vmap(
+            lambda c, w, u: self.dev_lm.logp_words(
+                c, w, u, n_exact=self.close_top
+            )
+        )(state.ctx, jnp.maximum(wids, 0), uni_w)     # (K, H)
         wlp = wlp + length_penalty
         new_ctx = jnp.concatenate(
             [

