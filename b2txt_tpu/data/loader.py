@@ -106,17 +106,28 @@ class BatchLoader:
 
 
 def prefetch_iterator(
-    loader: BatchLoader, prefetch: int = 2
+    loader: BatchLoader, prefetch: int = 2, to_device: bool = False
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Background-thread prefetch (replaces DataLoader workers + pin_memory;
-    device transfer overlap comes from jax's async dispatch on device_put)."""
+    """Background-thread prefetch (replaces DataLoader workers + pin_memory).
+
+    ``to_device=True`` additionally issues jax.device_put from the worker
+    thread — double-buffered host→device transfer that overlaps the previous
+    step's compute (the DataLoader pin_memory+non_blocking analogue). The
+    main thread then receives device arrays and jnp.asarray is a no-op."""
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     sentinel = object()
 
     def worker():
         try:
-            for batch in loader:
-                q.put(batch)
+            if to_device:
+                import jax
+
+                for batch in loader:
+                    q.put({k: jax.device_put(v) if isinstance(v, np.ndarray)
+                           else v for k, v in batch.items()})
+            else:
+                for batch in loader:
+                    q.put(batch)
         finally:
             q.put(sentinel)
 

@@ -61,7 +61,32 @@ def full_input_rate(n_steps: int = 160) -> None:
     cfg.save_final_model = False
 
     trainer = Trainer(cfg)
-    it = prefetch_iterator(trainer.train_loader)
+
+    # ---- decomposition: where does the input-path time go?
+    # (a) host loader alone: HDF5 reads + bucket/pad, no device involvement
+    t0 = time.perf_counter()
+    n_host = 24
+    for i, _b in enumerate(trainer.train_loader):
+        if i + 1 >= n_host:
+            break
+    host_rate = n_host / (time.perf_counter() - t0)
+    # (b) host->device transfer alone (the axon-tunnel rig bottleneck: this
+    # link runs ~20 MB/s; a real v5e host feeds chips over PCIe/DMA)
+    b0 = trainer.train_loader.get_batch(0)
+    mb = sum(v.nbytes for v in b0.values() if hasattr(v, "nbytes")) / 1e6
+    t0 = time.perf_counter()
+    for _ in range(4):
+        d = jax.device_put(b0["input_features"])
+        # sync via an on-device scalar reduce (block_until_ready is
+        # unreliable through the tunnel; a raw element read can transfer
+        # the whole buffer back)
+        float(jnp.sum(d[:, 0, 0]))
+    put_rate = 4 / (time.perf_counter() - t0)
+    print(f"  input decomposition: host loader {host_rate:.1f} batches/s, "
+          f"device_put {put_rate:.2f} batches/s ({mb:.0f} MB/batch)",
+          flush=True)
+
+    it = prefetch_iterator(trainer.train_loader, to_device=True)
     base_key = jax.random.PRNGKey(0)
 
     def step(i, batch):
