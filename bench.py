@@ -222,6 +222,11 @@ def main() -> None:
     p.add_argument("--bins", type=int, default=520)
     p.add_argument("--adversarial", action="store_true")
     p.add_argument("--max_homophones", type=int, default=None)
+    p.add_argument("--close_top", type=int, default=None,
+                   help="probe the LM for only the top-C unigram-ranked "
+                        "homophones per close (device searcher; tail slots "
+                        "take the exact backoff-chain score, the on-chip "
+                        "pool rescore restores exact scores on survivors)")
     args = p.parse_args()
     max_h = args.max_homophones or (6 if args.adversarial else 4)
 
@@ -330,7 +335,8 @@ def main() -> None:
     # ---- device searcher (on-chip unpruned pool rescore attached)
     t0 = time.perf_counter()
     dev = DeviceLexiconBeamSearch(lex, lm, cfg, max_homophones=max_h,
-                                  rescore_lm=lm_unpruned)
+                                  rescore_lm=lm_unpruned,
+                                  close_probe_top=args.close_top)
     dev_build_s = time.perf_counter() - t0
 
     # warm/compile the connected path end to end
@@ -406,6 +412,7 @@ def main() -> None:
         "blank_penalty": cfg.blank_penalty,
         "acoustic_scale": cfg.acoustic_scale,
         "max_homophones": max_h,
+        "close_probe_top": args.close_top,
         "rescore": {
             "device": f"unpruned-{args.order}gram pool rescore ON-CHIP",
             "native": f"unpruned-{args.order}gram pool rescore (host)",
