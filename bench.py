@@ -428,6 +428,23 @@ def main() -> None:
     if args.adversarial:
         extra["adversarial"] = True
         extra["lexicon_stats"] = lex_stats
+    else:
+        # companion numbers measured this round on this chip by the named
+        # drive scripts (RECORDED, not re-measured in this run — rerun the
+        # scripts to refresh; docs/ROUND4.md holds the full methodology)
+        extra["recorded_r4"] = {
+            "opt67b_forward_tokens_per_s": 10250,
+            "opt67b_mfu": 0.69,
+            "opt67b_hbm_gb_bf16": 12.4,
+            "opt_nbest100_rescore_s_per_sentence": 0.21,
+            "finalize_with_opt67b_sentences_per_s": 6.93,
+            "finalize_with_opt67b_exact": "64/64",
+            "train_steps_per_s_chained": 52.3,
+            "adversarial_device_decode_sentences_per_s": 88.5,
+            "adversarial_native_sentences_per_s": 89.5,
+            "source": "scripts/bench_opt.py --full | scripts/bench_training"
+                      ".py | bench.py --adversarial (BENCH logs, round 4)",
+        }
 
     print(json.dumps({
         "metric": "pipeline_sentences_per_sec",

@@ -77,10 +77,10 @@ def full_input_rate(n_steps: int = 160) -> None:
     t0 = time.perf_counter()
     for _ in range(4):
         d = jax.device_put(b0["input_features"])
-        # sync via an on-device scalar reduce (block_until_ready is
-        # unreliable through the tunnel; a raw element read can transfer
-        # the whole buffer back)
-        float(jnp.sum(d[:, 0, 0]))
+        # sync via a full-array device reduce fetched as ONE scalar
+        # (block_until_ready is unreliable through the tunnel; an element
+        # read or strided slice can transfer whole buffers back)
+        float(jnp.sum(d))
     put_rate = 4 / (time.perf_counter() - t0)
     print(f"  input decomposition: host loader {host_rate:.1f} batches/s, "
           f"device_put {put_rate:.2f} batches/s ({mb:.0f} MB/batch)",
