@@ -222,6 +222,8 @@ def main() -> None:
     p.add_argument("--bins", type=int, default=520)
     p.add_argument("--adversarial", action="store_true")
     p.add_argument("--max_homophones", type=int, default=None)
+    p.add_argument("--beam_width", type=int, default=96,
+                   help="device/native beam width K (canonical 96)")
     p.add_argument("--close_top", type=int, default=None,
                    help="probe the LM for only the top-C unigram-ranked "
                         "homophones per close (device searcher; tail slots "
@@ -236,7 +238,7 @@ def main() -> None:
 
     cfg = DecodeConfig(
         acoustic_scale=0.325, blank_penalty=90.0, nbest=100,
-        beam_width=96, beam=17.0, first_beam_size=8,
+        beam_width=args.beam_width, beam=17.0, first_beam_size=8,
         sum_mode=False,  # Kaldi token-passing (Viterbi) ranking, as reference
     )
     B, T = args.device_batch, args.bins
