@@ -222,8 +222,11 @@ def main() -> None:
     p.add_argument("--bins", type=int, default=520)
     p.add_argument("--adversarial", action="store_true")
     p.add_argument("--max_homophones", type=int, default=None)
-    p.add_argument("--beam_width", type=int, default=96,
-                   help="device/native beam width K (canonical 96)")
+    p.add_argument("--beam_width", type=int, default=64,
+                   help="device/native beam width K. 64 is canonical since "
+                        "round 4: measured 512/512 exact / 0 search errors "
+                        "on the friendly world AND matched quality on the "
+                        "adversarial world vs K=96 (see docs/ROUND4.md)")
     p.add_argument("--close_top", type=int, default=None,
                    help="probe the LM for only the top-C unigram-ranked "
                         "homophones per close (device searcher; tail slots "
