@@ -62,16 +62,6 @@ def _seg_scan(op_values, starts):
     return out
 
 
-def _seg_max(values, starts):
-    def op(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
-
-    out, _ = jax.lax.associative_scan(op, (values, starts))
-    return out
-
-
 def _seg_merge4(values, starts, sum_mode: bool):
     """ONE segmented scan merging all four score columns: [s, ns] with
     log-sum-exp (sum_mode) or max (Viterbi), [ac_s, ac_ns] always with max.
@@ -230,6 +220,14 @@ def _compress_traces(traces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     mask = traces >= 0
     lens = mask.sum(axis=0).astype(np.int32)                    # (B, K)
     L = -(-max(1, int(lens.max(initial=0))) // 8) * 8
+    if traces.shape[0] < L:  # short streaming decodes: pad T up to the bucket
+        pad = L - traces.shape[0]
+        traces = np.concatenate(
+            [traces, np.full((pad,) + traces.shape[1:], -1, traces.dtype)]
+        )
+        mask = np.concatenate(
+            [mask, np.zeros((pad,) + mask.shape[1:], bool)]
+        )
     order = np.argsort(~mask, axis=0, kind="stable")            # kept first
     gathered = np.take_along_axis(traces, order[:L], axis=0)    # (L, B, K)
     out = np.where(np.arange(L)[:, None, None] < lens[None], gathered, -1)

@@ -224,3 +224,35 @@ def test_device_precut_rescore_matches_native(world, tmp_path):
                 np.testing.assert_allclose(
                     r.lm_score, nat_by_s[r.sentence].lm_score,
                     rtol=1e-4, atol=1e-4)
+
+
+def test_compress_traces_short_T():
+    """Traces shorter than the L bucket (tiny streaming decodes) pad rather
+    than crash, and the compressed lists are exact."""
+    from b2txt_tpu.decode.lmbeam_jax import _compress_traces
+
+    traces = np.full((3, 1, 4), -1, np.int32)   # T=3 < L bucket 8
+    traces[0, 0, 0] = 7
+    traces[2, 0, 0] = 9
+    traces[1, 0, 2] = 5
+    out, lens = _compress_traces(traces)
+    assert out.shape == (1, 4, 8)
+    assert lens.tolist() == [[2, 0, 1, 0]]
+    assert out[0, 0, :2].tolist() == [7, 9]
+    assert out[0, 2, 0] == 5
+    assert (out[0, 0, 2:] == -1).all()
+
+
+def test_streaming_rescore_short_chunk(world):
+    """finish_decoding with rescore after a SHORT chunk exercises the padded
+    _compress_traces path end to end."""
+    from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
+
+    lexicon, pruned, unpruned = world
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=3,
+                       beam_width=32, beam=0.0)
+    dev = DeviceLexiconBeamSearch(lexicon, pruned, cfg, rescore_lm=unpruned)
+    lp = logits_for(lexicon, "the cat", seed=3)[:9]   # 9 frames only
+    dev.decode(lp)
+    res = dev.finish_decoding()   # must not raise; may or may not decode
+    assert isinstance(res, list)
