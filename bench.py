@@ -80,8 +80,9 @@ def make_stage1(B: int, T: int):
     from b2txt_tpu.utils import TrainConfig
 
     cfg = TrainConfig()
-    code = jnp.asarray(phoneme_code(cfg.model.n_input_features))
-    params = planted_params(cfg.model, 45, np.asarray(code))
+    code_np = phoneme_code(cfg.model.n_input_features)
+    params = planted_params(cfg.model, 45, code_np)
+    code = jnp.asarray(code_np)  # host->device only; never fetched back
     dt = cfg.dataset.data_transforms
     ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
     P = (T - (ksize - 1) - cfg.model.patch_size) // cfg.model.patch_stride + 1
