@@ -164,12 +164,17 @@ def build_world(vocab_size: int, order: int = 3, seed: int = 0,
     return lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng, stats
 
 
-def make_planted_utts(lex, wl, rng, n: int, T: int, phone_budget: int = 44):
+def make_planted_utts(lex, wl, rng, n: int, T: int,
+                      phone_budget: int | None = None):
     """n utterances: (sentence, planted (T,) frame labels). Words are drawn
     until the phone+SIL budget fills (~5-6 words/sentence at CMUdict-like
-    pronunciation lengths)."""
+    pronunciation lengths at the canonical T=520; smaller T derives a
+    proportionally smaller budget so planting always fits)."""
     from b2txt_tpu.models.planted import plant_frame_labels
 
+    if phone_budget is None:
+        # worst-case emission is 11 frames (hot 7 + gap 4); keep headroom
+        phone_budget = max(8, min(44, (T - 24) // 11))
     out = []
     while len(out) < n:
         sent_words = []

@@ -1,0 +1,34 @@
+"""Guard the driver's entry point: bench.py's main() runs end to end at a
+tiny scale on the CPU backend and prints exactly ONE JSON line with the
+required keys. (The real-scale TPU numbers live in BENCH_r*.json; this
+catches wiring regressions in the connected-pipeline flow.)"""
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_main_tiny(tmp_path):
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import sys; sys.argv=['bench.py','--vocab','300','--utts','4',\n"
+        "  '--device_batch','2','--bins','288']\n"
+        "exec(open('bench.py').read())\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=1200, cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, r.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "pipeline_sentences_per_sec"
+    assert d["value"] > 0 and d["unit"] == "sentences/s"
+    e = d["extra"]
+    for key in ("connected", "device_pipeline_sentences_per_sec",
+                "host_overlapped_sentences_per_sec", "device_wer",
+                "native_wer", "rescore", "headline_mode"):
+        assert key in e, key
+    assert e["connected"] is True
+    # tiny-scale sanity: the planted fixture must still decode perfectly
+    assert e["device_exact"] == "4/4"
+    assert e["native_exact"] == "4/4"
