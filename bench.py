@@ -228,6 +228,10 @@ def main() -> None:
     p.add_argument("--bins", type=int, default=520)
     p.add_argument("--adversarial", action="store_true")
     p.add_argument("--max_homophones", type=int, default=None)
+    p.add_argument("--first_beam", type=int, default=8,
+                   help="phone-extension prune: per-frame top-k phones "
+                        "(8 canonical; each unit is one gathered row per "
+                        "beam per frame)")
     p.add_argument("--beam_width", type=int, default=64,
                    help="device/native beam width K. 64 is canonical since "
                         "round 4: measured 512/512 exact / 0 search errors "
@@ -247,7 +251,8 @@ def main() -> None:
 
     cfg = DecodeConfig(
         acoustic_scale=0.325, blank_penalty=90.0, nbest=100,
-        beam_width=args.beam_width, beam=17.0, first_beam_size=8,
+        beam_width=args.beam_width, beam=17.0,
+        first_beam_size=args.first_beam,
         sum_mode=False,  # Kaldi token-passing (Viterbi) ranking, as reference
     )
     B, T = args.device_batch, args.bins
