@@ -119,7 +119,23 @@ class LexiconBeamSearch:
             import numpy as _np
 
             self.la = _np.zeros(lexicon.n_nodes, _np.float32)
+        # per-node homophone-class members ordered by DESCENDING unigram
+        # log-prob (stable: ties keep CSR order), so the max_homophones cap
+        # drops the least-likely members — the SAME drop policy as the
+        # device TrieArrays and the native decoder (cross-backend parity
+        # when a class exceeds the cap).
+        self._node_words_cache: dict = {}
         self.reset()
+
+    def _node_words(self, node: int):
+        ws = self._node_words_cache.get(node)
+        if ws is None:
+            ws = sorted(
+                self.lexicon.node_words(node),
+                key=lambda w: -self.lm.logp([], self.lexicon.words[w]),
+            )
+            self._node_words_cache[node] = ws
+        return ws
 
     def set_opt(self, config: DecodeConfig) -> None:
         """Runtime reconfiguration (parity: BrainSpeechDecoder::SetOpt)."""
@@ -222,7 +238,7 @@ class LexiconBeamSearch:
                                   ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm),
                         )
                     # SIL at a word-final node closes the word(s)
-                    wlist = self.lexicon.node_words(node)
+                    wlist = self._node_words(node)
                     ctx = self._lm_context(words)
                     for wid in wlist[: self.max_homophones]:
                         wlp = self.lm.logp(ctx, self.lexicon.words[wid])
@@ -300,7 +316,7 @@ class LexiconBeamSearch:
                 candidates.append(h)
             else:
                 ctx = self._lm_context(words)
-                for wid in self.lexicon.node_words(node)[: self.max_homophones]:
+                for wid in self._node_words(node)[: self.max_homophones]:
                     wlp = self.lm.logp(ctx, self.lexicon.words[wid]) + cfg.length_penalty
                     # same lookahead cancellation as in-search word closes, so
                     # final candidates all share the root-lookahead offset

@@ -741,16 +741,19 @@ class DeviceLexiconBeamSearch:
         return scan_chunk
 
     def _build_finalize(self):
-        def finalize(state: LmBeamState, sum_mode: bool = True):
+        def finalize(state: LmBeamState, sum_mode: bool = True,
+                     length_penalty=0.0):
             """Close open words (no acoustic cost) + </s>; returns per-
-            candidate scores over (K, H+1) [slot H = already-at-root]."""
+            candidate scores over (K, H+1) [slot H = already-at-root].
+            length_penalty applies to the final word close, as in the host
+            oracle (lmbeam.py:304) and native (decoder.cc:654)."""
             K, H = state.node.shape[0], self.H
             CW = state.ctx.shape[1]
             wids = self.trie.words_at[state.node]      # (K, H)
             w_ok = wids >= 0
             wlp = jax.vmap(self.dev_lm.logp_words)(
                 state.ctx, jnp.maximum(wids, 0)
-            )
+            ) + length_penalty
             new_ctx = jnp.concatenate(
                 [jnp.broadcast_to(state.ctx[:, None, 1:], (K, H, CW - 1)),
                  jnp.maximum(wids, 0)[:, :, None]], axis=2
@@ -783,22 +786,25 @@ class DeviceLexiconBeamSearch:
             all_ac = jnp.broadcast_to(ac[:, None], (K, H + 1))
             return all_scores, all_words, all_lm, all_ac
 
-        def finalize_batch(state, sum_mode: bool = True):
-            return jax.vmap(lambda s: finalize(s, sum_mode))(state)
+        def finalize_batch(state, sum_mode: bool = True, length_penalty=0.0):
+            return jax.vmap(
+                lambda s: finalize(s, sum_mode, length_penalty)
+            )(state)
 
         self._finalize_impl = finalize_batch  # unjitted, for the sharded path
 
-        def finalize_bound(table, state, sum_mode=True):
+        def finalize_bound(table, state, sum_mode=True, length_penalty=0.0):
             self.dev_lm.bind_table(table)
             try:
-                return finalize(state, sum_mode)
+                return finalize(state, sum_mode, length_penalty)
             finally:
                 self.dev_lm.unbind_table()
 
-        def finalize_batch_bound(table, state, sum_mode=True):
+        def finalize_batch_bound(table, state, sum_mode=True,
+                                 length_penalty=0.0):
             self.dev_lm.bind_table(table)
             try:
-                return finalize_batch(state, sum_mode)
+                return finalize_batch(state, sum_mode, length_penalty)
             finally:
                 self.dev_lm.unbind_table()
 
@@ -929,8 +935,10 @@ class DeviceLexiconBeamSearch:
             first_beam=cfg.first_beam_size or None,
             sum_mode=bool(cfg.sum_mode),
         )
-        final = self._finalize_batch(self.dev_lm.table[0], state,
-                             sum_mode=bool(cfg.sum_mode))
+        final = self._finalize_batch(
+            self.dev_lm.table[0], state, sum_mode=bool(cfg.sum_mode),
+            length_penalty=float(cfg.length_penalty),
+        )
         return final, recs
 
     def _collect_batch(self, handle, nbest=None):
@@ -1067,8 +1075,9 @@ class DeviceLexiconBeamSearch:
             raise ValueError(f"batch {B} not divisible by mesh axis size {D}")
 
         # cache key by device identity, not the Mesh object: two Mesh objects
-        # over the same devices share one compiled runner, and the cache no
-        # longer pins dead Mesh objects alive through the closure
+        # over the same devices share one compiled runner (the FIRST such
+        # Mesh stays captured by that runner's shard_map closure; later
+        # equal meshes are no longer pinned)
         key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, axis)
         if getattr(self, "_sharded_cache", None) is None:
             self._sharded_cache = {}
@@ -1117,7 +1126,7 @@ class DeviceLexiconBeamSearch:
                     state, lp_btv, lengths, scale, length_penalty,
                     log_blank_penalty, first_beam, sum_mode,
                 )
-                final = self._finalize_impl(state, sum_mode)
+                final = self._finalize_impl(state, sum_mode, length_penalty)
             finally:
                 self.dev_lm = base_lm
             return final, recs
@@ -1184,7 +1193,8 @@ class DeviceLexiconBeamSearch:
         scores, fwords, lms, acs = (
             np.asarray(x)
             for x in self._finalize_fn(self.dev_lm.table[0], self.state,
-                                       sum_mode=bool(cfg.sum_mode))
+                                       sum_mode=bool(cfg.sum_mode),
+                                       length_penalty=float(cfg.length_penalty))
         )
         if self.rescore_lm is not None and self.records:
             # streaming path: reconstruct every beam's word trace, then run

@@ -68,39 +68,55 @@ def run_single_decoding_step(
     return np.asarray(logits[0], np.float32)
 
 
+def _forward_bucket(
+    params, feats_list, idxs, day_idx: int, cfg: TrainConfig, compute_dtype,
+    time_bucket: int, pad_rows: Optional[int] = None,
+):
+    """Pad one sorted bucket of trials and run smoothing + forward on
+    device. Returns (logits (B, P, C) DEVICE array, per-trial output
+    lengths). Shared by the host-path and device-resident eval flows so
+    their padding/length semantics cannot diverge."""
+    dt = cfg.dataset.data_transforms
+    ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
+    B = pad_rows or len(idxs)
+    max_t = max(feats_list[i].shape[0] for i in idxs)
+    T_pad = ((max_t + time_bucket - 1) // time_bucket) * time_bucket
+    batch = np.zeros((B, T_pad, feats_list[idxs[0]].shape[1]), np.float32)
+    for row, i in enumerate(idxs):
+        batch[row, : feats_list[i].shape[0]] = feats_list[i]
+    x = jnp.asarray(batch)
+    if dt.smooth_data:
+        x = gauss_smooth(x, std=dt.smooth_kernel_std,
+                         size=dt.smooth_kernel_size, padding="valid")
+    logits = gru_decoder.forward(
+        params, x, jnp.full((B,), day_idx),
+        patch_size=cfg.model.patch_size, patch_stride=cfg.model.patch_stride,
+        compute_dtype=compute_dtype,
+    )
+    p_is = []
+    for i in idxs:
+        t_i = feats_list[i].shape[0]
+        if dt.smooth_data:
+            t_i = t_i - ksize + 1
+        p_is.append((t_i - cfg.model.patch_size) // cfg.model.patch_stride + 1)
+    return logits, p_is
+
+
 def _batched_inference(
     params, feats_list: List[np.ndarray], day_idx: int, cfg: TrainConfig,
     compute_dtype, batch_size: int = 32, time_bucket: int = 128,
 ) -> List[np.ndarray]:
     """Pad trials into bucketed batches for device efficiency; per-trial
     adjusted lengths slice the per-trial logits back out."""
-    dt = cfg.dataset.data_transforms
-    ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
     out: List[Optional[np.ndarray]] = [None] * len(feats_list)
     order = np.argsort([f.shape[0] for f in feats_list])
     for start in range(0, len(order), batch_size):
         idxs = order[start : start + batch_size]
-        max_t = max(feats_list[i].shape[0] for i in idxs)
-        T_pad = ((max_t + time_bucket - 1) // time_bucket) * time_bucket
-        batch = np.zeros((len(idxs), T_pad, feats_list[idxs[0]].shape[1]), np.float32)
-        for row, i in enumerate(idxs):
-            batch[row, : feats_list[i].shape[0]] = feats_list[i]
-        x = jnp.asarray(batch)
-        if dt.smooth_data:
-            x = gauss_smooth(
-                x, std=dt.smooth_kernel_std, size=dt.smooth_kernel_size, padding="valid"
-            )
-        logits = gru_decoder.forward(
-            params, x, jnp.full((len(idxs),), day_idx),
-            patch_size=cfg.model.patch_size, patch_stride=cfg.model.patch_stride,
-            compute_dtype=compute_dtype,
+        logits, p_is = _forward_bucket(
+            params, feats_list, idxs, day_idx, cfg, compute_dtype, time_bucket
         )
         logits = np.asarray(logits, np.float32)
-        for row, i in enumerate(idxs):
-            t_i = feats_list[i].shape[0]
-            if dt.smooth_data:
-                t_i = t_i - ksize + 1
-            p_i = (t_i - cfg.model.patch_size) // cfg.model.patch_stride + 1
+        for row, (i, p_i) in enumerate(zip(idxs, p_is)):
             out[i] = logits[row, :p_i]
     return out  # type: ignore[return-value]
 
@@ -116,36 +132,18 @@ def _batched_inference_device(
     a ~160× smaller fetch than the (B, P, 41) float logits.
 
     Returns (batches [(lp_dev, lens)], sizes, trial_order, greedy_ids)."""
-    dt = cfg.dataset.data_transforms
-    ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))
     order = np.argsort([f.shape[0] for f in feats_list])
     batches, sizes, trial_order, greedy = [], [], [], {}
     for start in range(0, len(order), batch_size):
         idxs = order[start : start + batch_size]
-        max_t = max(feats_list[i].shape[0] for i in idxs)
-        T_pad = ((max_t + time_bucket - 1) // time_bucket) * time_bucket
-        D = feats_list[idxs[0]].shape[1]
-        batch = np.zeros((batch_size, T_pad, D), np.float32)
-        for row, i in enumerate(idxs):
-            batch[row, : feats_list[i].shape[0]] = feats_list[i]
-        x = jnp.asarray(batch)
-        if dt.smooth_data:
-            x = gauss_smooth(x, std=dt.smooth_kernel_std,
-                             size=dt.smooth_kernel_size, padding="valid")
-        logits = gru_decoder.forward(
-            params, x, jnp.full((batch_size,), day_idx),
-            patch_size=cfg.model.patch_size,
-            patch_stride=cfg.model.patch_stride,
-            compute_dtype=compute_dtype,
+        logits, p_is = _forward_bucket(
+            params, feats_list, idxs, day_idx, cfg, compute_dtype,
+            time_bucket, pad_rows=batch_size,
         )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ids = np.asarray(jnp.argmax(lp, axis=-1))          # small fetch
         lens = np.zeros((batch_size,), np.int32)
-        for row, i in enumerate(idxs):
-            t_i = feats_list[i].shape[0]
-            if dt.smooth_data:
-                t_i = t_i - ksize + 1
-            p_i = (t_i - cfg.model.patch_size) // cfg.model.patch_stride + 1
+        for row, (i, p_i) in enumerate(zip(idxs, p_is)):
             lens[row] = p_i
             greedy[i] = ids[row, :p_i]
         batches.append((lp, lens))

@@ -732,6 +732,19 @@ void* b2t_create(const char* arpa_path, const char* lexicon_path) {
     delete d;
     return nullptr;
   }
+  // Order each node's homophone-class members by DESCENDING unigram
+  // log-prob (stable: ties keep lexicon-file order), so the
+  // max_homophones cap drops the least-likely members — the same drop
+  // policy as the host oracle (lmbeam.py _node_words) and the device
+  // searcher (lmbeam_jax.TrieArrays); cross-backend n-best parity holds
+  // even when a class exceeds the cap.
+  for (auto& ws : d->lex.words_at) {
+    if (ws.size() > 1) {
+      std::stable_sort(ws.begin(), ws.end(), [&](int a, int b) {
+        return d->lm.LogP(nullptr, 0, a) > d->lm.LogP(nullptr, 0, b);
+      });
+    }
+  }
   d->dec = std::make_unique<b2t::Decoder>(&d->lm, &d->lex);
   return d;
 }

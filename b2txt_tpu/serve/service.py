@@ -179,9 +179,17 @@ class DecoderService:
             return
         if self.config.rescore and self.rescore_lm is not None:
             if getattr(s, "rescore_lm", None) is None:
-                s.attach_rescore_lm(self.rescore_lm)
+                cached = getattr(self, "_device_rescore_cache", None)
+                if cached is not None:
+                    # re-enable without repacking the unpruned HBM table /
+                    # re-jitting (a reference-scale table is GBs)
+                    s.rescore_lm, s._rescore_fn = cached
+                else:
+                    s.attach_rescore_lm(self.rescore_lm)
             self._internal_rescore = True
         else:
+            if getattr(s, "rescore_lm", None) is not None:
+                self._device_rescore_cache = (s.rescore_lm, s._rescore_fn)
             s.rescore_lm = None
             self._internal_rescore = False
 

@@ -39,6 +39,14 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .optimizer import make_optimizer, trainability_mask
 
 
+
+def _flush_losses(pending: list, out: list) -> None:
+    """Convert accumulated device loss scalars in ONE stacked fetch (a
+    per-scalar float() would pay the ~25 ms tunnel RTT once per element)."""
+    if pending:
+        out.extend(np.asarray(jnp.stack(pending)).astype(float).tolist())
+        pending.clear()
+
 class Trainer:
     def __init__(self, cfg: TrainConfig, logger=None, mesh=None):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
@@ -267,16 +275,14 @@ class Trainer:
             pending_losses.append(loss)
 
             if i % cfg.batches_per_train_log == 0:
-                train_losses.extend(map(float, pending_losses))
-                pending_losses.clear()
+                _flush_losses(pending_losses, train_losses)
                 self.logger.info(
                     f"Train batch {i}: loss: {train_losses[-1]:.2f} "
                     f"grad norm: {float(grad_norm):.2f} time: {time.time() - t0:.3f}"
                 )
 
             if i % cfg.batches_per_val_step == 0 or i == cfg.num_training_batches - 1:
-                train_losses.extend(map(float, pending_losses))
-                pending_losses.clear()
+                _flush_losses(pending_losses, train_losses)
                 t0 = time.time()
                 val_metrics = self.validation(return_logits=cfg.save_val_logits)
                 self.logger.info(
@@ -343,8 +349,7 @@ class Trainer:
                     )
                     break
 
-        train_losses.extend(map(float, pending_losses))
-        pending_losses.clear()
+        _flush_losses(pending_losses, train_losses)
         self.logger.info(f"Best avg val PER achieved: {self.best_val_per:.5f}")
         self.logger.info(
             f"Total training time: {(time.time() - train_start) / 60:.2f} minutes"

@@ -48,10 +48,14 @@ def word_hash_encode(vocab_size: int):
     tokens/word) without needing the (undownloadable) vocab files. Real
     deployments pass utils.bpe.ByteBPE.for_opt(...) instead."""
 
+    import zlib
+
     def enc(text: str, max_len: int):
         ids = [2]  # OPT BOS
         for w in text.split():
-            ids.append((hash(w) % (vocab_size - 10)) + 10)
+            # crc32, not hash(): builtin str hash is salted per process and
+            # would make the drive's scores/exact counts non-reproducible
+            ids.append((zlib.crc32(w.encode()) % (vocab_size - 10)) + 10)
         return ids[:max_len]
 
     return enc

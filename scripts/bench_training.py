@@ -116,9 +116,10 @@ def full_input_rate(n_steps: int = 160) -> None:
             continue
         losses.append(loss)
         if len(losses) >= 64:   # chunked sync, as Trainer.train does
-            _ = [float(l) for l in losses]
+            np.asarray(jnp.stack(losses))  # ONE stacked fetch
             losses.clear()
-    _ = [float(l) for l in losses]
+    if losses:
+        np.asarray(jnp.stack(losses))
     dt = time.perf_counter() - t0
     n = cfg.num_training_batches - n0
     print(f"full-input-path train steps/s: {n / dt:.2f} "

@@ -306,7 +306,8 @@ def bench_step(args):
             unk_logp = real.unk_logp
             table = real.table
 
-            def logp_words(self, ctx, words, uni_logp_w=None):
+            def logp_words(self, ctx, words, uni_logp_w=None,
+                           n_exact=None):
                 return jnp.zeros(words.shape, jnp.float32) - 2.0
 
             def logp(self, ctx, word):

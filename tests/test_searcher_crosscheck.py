@@ -148,3 +148,88 @@ def test_first_beam_oracle_restricts_extensions(setup):
     host = LexiconBeamSearch(lexicon, lm, cfg)
     host.decode(lp)
     assert host.finish_decoding()[0].sentence == "the cat"
+
+
+def test_homophone_cap_drop_policy_crosschecked(tmp_path):
+    """When a homophone class EXCEEDS max_homophones, all three backends
+    drop the same members: the least-likely by unigram (stable on ties).
+    Guards the round-4 unification (TrieArrays / lmbeam._node_words /
+    decoder.cc b2t_create sort)."""
+    lex_words = {
+        # a 4-member class on one pronunciation; 'vfreq' is the most
+        # frequent in the corpus, 'vrare' the rarest
+        "vfreq": ["V", "IY"],
+        "vmid1": ["V", "IY"],
+        "vmid2": ["V", "IY"],
+        "vrare": ["V", "IY"],
+        "the": ["DH", "AH"],
+        "cat": ["K", "AE", "T"],
+    }
+    corpus = (
+        ["the vfreq cat".split()] * 12
+        + ["the vmid1 cat".split()] * 6
+        + ["the vmid2 cat".split()] * 3
+        + ["the vrare cat".split()] * 1
+        + ["the cat".split()] * 2
+    )
+    lexicon = Lexicon.from_words(lex_words)
+    lm = train_ngram(corpus, order=2)
+    arpa = str(tmp_path / "lm.arpa"); lm.to_arpa(arpa)
+    lexp = str(tmp_path / "lexicon.txt")
+    with open(lexp, "w") as f:
+        for w, p in lex_words.items():
+            f.write(f"{w.upper()}  {' '.join(p)}\n")
+
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10,
+                       beam_width=48, beam=0.0, sum_mode=False)
+    H = 2  # cap BELOW the class size of 4
+    host = LexiconBeamSearch(lexicon, lm, cfg, max_homophones=H)
+    native = NativeLexiconBeamSearch(arpa, lexp, cfg, max_homophones=H)
+    dev = DeviceLexiconBeamSearch(lexicon, lm, cfg, max_homophones=H)
+
+    lp = noisy_logprobs(lexicon.sentence_to_phonemes("the vfreq cat"),
+                        seed=5, noise=0.3)
+    outs = {}
+    for name, s in (("host", host), ("native", native), ("device", dev)):
+        s.reset(); s.decode(lp)
+        outs[name] = s.finish_decoding()
+    sents = {name: [r.sentence for r in rs] for name, rs in outs.items()}
+    assert sents["host"] == sents["native"] == sents["device"], sents
+    # the two most likely class members survive the cap; the rare ones drop
+    joined = " ".join(sents["host"])
+    assert "vfreq" in joined and "vmid1" in joined
+    assert "vrare" not in joined and "vmid2" not in joined
+    for name in ("native", "device"):
+        np.testing.assert_allclose(
+            [r.lm_score for r in outs[name][:3]],
+            [r.lm_score for r in outs["host"][:3]], rtol=1e-4, atol=1e-4)
+
+
+def test_finalize_length_penalty_open_word(setup):
+    """length_penalty != 0 with the utterance CUT MID-WORD (no trailing
+    silence): the end-of-utterance close must add length_penalty in all
+    three backends (lmbeam.py:304 / decoder.cc:654 / device finalize —
+    the device omission was round-4's parity bug)."""
+    lexicon, lm, arpa, lexp = setup
+    cfg = DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=5,
+                       beam_width=48, beam=0.0, length_penalty=0.7,
+                       sum_mode=False)
+    ids = lexicon.sentence_to_phonemes("the cat")
+    lp = noisy_logprobs(ids[:-1], seed=9, noise=0.2)  # drop trailing SIL
+
+    host = LexiconBeamSearch(lexicon, lm, cfg)
+    native = NativeLexiconBeamSearch(arpa, lexp, cfg)
+    dev = DeviceLexiconBeamSearch(lexicon, lm, cfg)
+    outs = {}
+    for name, s in (("host", host), ("native", native), ("device", dev)):
+        s.reset(); s.decode(lp)
+        outs[name] = s.finish_decoding()
+    assert outs["host"][0].sentence == "the cat"
+    assert [r.sentence for r in outs["device"][:3]] == \
+        [r.sentence for r in outs["host"][:3]]
+    assert [r.sentence for r in outs["native"][:3]] == \
+        [r.sentence for r in outs["host"][:3]]
+    for name in ("native", "device"):
+        np.testing.assert_allclose(
+            [r.lm_score for r in outs[name][:3]],
+            [r.lm_score for r in outs["host"][:3]], rtol=1e-4, atol=1e-4)
