@@ -456,9 +456,10 @@ def main() -> None:
             "finalize_with_opt67b_sentences_per_s": 6.93,
             "finalize_with_opt67b_exact": "64/64",
             "train_steps_per_s_chained": 52.3,
-            "adversarial_device_decode_sentences_per_s": 108.3,
-            "adversarial_native_sentences_per_s": 90.8,
+            "adversarial_device_decode_sentences_per_s": 145.8,
+            "adversarial_native_sentences_per_s": 137.6,
             "adversarial_close_probe_top": 2,
+            "adversarial_beam_width": 64,
             "source": "scripts/bench_opt.py --full | scripts/bench_training"
                       ".py | bench.py --adversarial (BENCH logs, round 4)",
         }
