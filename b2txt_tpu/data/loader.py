@@ -37,12 +37,29 @@ class BatchLoader:
         label_bucket: int = 64,
         max_chars: int = 500,
         feature_subset: Optional[Sequence[int]] = None,
+        transfer_dtype: str = "float32",
     ):
         self.sampler = sampler
         self.time_bucket = time_bucket
         self.label_bucket = label_bucket
         self.max_chars = max_chars
         self.feature_subset = feature_subset or sampler.feature_subset
+        # "bfloat16" halves the host→device bytes of the dominant buffer
+        # (input_features is ~98% of a batch). Neural features are binned
+        # spike counts / band power whose quantization step (2^-8 relative)
+        # sits far below the reference's own white-noise augmentation
+        # (std 1.0, rnn_args.yaml:61-70); the train step upcasts to f32 on
+        # device before the f32 smoothing/augment path. Opt-in:
+        # TrainConfig.feature_transfer_dtype.
+        if transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            self._feat_dtype = np.dtype(ml_dtypes.bfloat16)
+        elif transfer_dtype == "float32":
+            self._feat_dtype = np.dtype(np.float32)
+        else:
+            raise ValueError(f"transfer_dtype must be float32|bfloat16, "
+                             f"got {transfer_dtype!r}")
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -85,7 +102,7 @@ class BatchLoader:
         S_pad = _round_up(max(max(len(l) for l in labels), 1), self.label_bucket)
 
         batch = {
-            "input_features": np.zeros((B, T_pad, D), np.float32),
+            "input_features": np.zeros((B, T_pad, D), self._feat_dtype),
             "seq_class_ids": np.zeros((B, S_pad), np.int32),
             "n_time_steps": np.asarray(n_steps, np.int32),
             "phone_seq_lens": np.asarray(lab_lens, np.int32),

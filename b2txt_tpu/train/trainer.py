@@ -120,8 +120,12 @@ class Trainer:
             random_seed=cfg.dataset.seed,
             feature_subset=cfg.dataset.feature_subset,
         )
-        self.train_loader = BatchLoader(self.train_sampler)
-        self.val_loader = BatchLoader(self.val_sampler)
+        self.train_loader = BatchLoader(
+            self.train_sampler, transfer_dtype=cfg.feature_transfer_dtype
+        )
+        self.val_loader = BatchLoader(
+            self.val_sampler, transfer_dtype=cfg.feature_transfer_dtype
+        )
 
         # Optimizer
         self.tx = make_optimizer(cfg, self.params)
@@ -176,6 +180,9 @@ class Trainer:
         mask = self.train_mask
 
         def loss_fn(params, key, feats, labels, n_time, lab_lens, day_idx):
+            # bf16-transferred batches upcast on device (no-op for f32); the
+            # augment/smooth path then runs in f32 exactly as the reference's
+            feats = feats.astype(jnp.float32)
             k_aug, k_drop = jax.random.split(key)
             if cfg.use_fused_preprocess:
                 from ..ops.pallas.preprocess import fused_preprocess
@@ -225,6 +232,7 @@ class Trainer:
 
         @jax.jit
         def eval_step(params, feats, labels, n_time, lab_lens, day_idx):
+            feats = feats.astype(jnp.float32)
             feats, n_time = transform_data(
                 jax.random.PRNGKey(0), feats, n_time, targs, training=False
             )

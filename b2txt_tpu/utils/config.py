@@ -111,6 +111,11 @@ class TrainConfig:
     # Pallas VMEM-resident GRU recurrence (fwd + custom-VJP bwd). None = auto:
     # on for real TPU, off for the CPU test backend.
     use_pallas_gru: Optional[bool] = None
+    # Host→device dtype of input_features batches ("float32" | "bfloat16").
+    # bfloat16 halves the bytes on the host link (PCIe on a real v5e host,
+    # the ~20 MB/s tunnel here) — the full-input training bottleneck; the
+    # step upcasts on device, so compute is unchanged (see BatchLoader).
+    feature_transfer_dtype: str = "float32"
 
     output_dir: str = "trained_models/baseline_rnn"
     checkpoint_dir: str = "trained_models/baseline_rnn/checkpoint"

@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def full_input_rate(n_steps: int = 160) -> None:
+def full_input_rate(n_steps: int = 160, bf16_transfer: bool = False) -> None:
     """HDF5 → sampler → prefetch → device_put → Trainer step, full shapes."""
     import tempfile
 
@@ -59,6 +59,10 @@ def full_input_rate(n_steps: int = 160) -> None:
     cfg.checkpoint_dir = tmp + "/out/ckpt"
     cfg.save_best_checkpoint = False
     cfg.save_final_model = False
+    if bf16_transfer:
+        # halve the host-link bytes of the dominant buffer (features); the
+        # step upcasts on device (TrainConfig.feature_transfer_dtype)
+        cfg.feature_transfer_dtype = "bfloat16"
 
     trainer = Trainer(cfg)
 
@@ -217,9 +221,12 @@ def main() -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full_input", action="store_true")
+    ap.add_argument("--bf16_transfer", action="store_true",
+                    help="with --full_input: transfer input_features as "
+                         "bfloat16 (half the host-link bytes)")
     ap.add_argument("--steps", type=int, default=160)
     a = ap.parse_args()
     if a.full_input:
-        full_input_rate(a.steps)
+        full_input_rate(a.steps, bf16_transfer=a.bf16_transfer)
     else:
         main()

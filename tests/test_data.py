@@ -113,6 +113,34 @@ def test_loader_batch_shapes(sessions):
     assert np.all(batch["input_features"][i, batch["n_time_steps"][i]:] == 0)
 
 
+def test_loader_bf16_transfer(sessions):
+    """feature_transfer_dtype="bfloat16" halves the feature bytes and stays
+    within bf16 quantization (2^-8 relative) of the f32 batch; the train
+    step upcasts on device (trainer loss_fn), so compute is unchanged."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    root, names = sessions
+    paths = [f"{root}/{n}/data_train.hdf5" for n in names]
+    train, _ = train_test_split_indices(paths, test_percentage=0)
+    s = BatchSampler(train, n_batches=3, split="train", batch_size=6,
+                     days_per_batch=2, random_seed=1)
+    f32 = BatchLoader(s, time_bucket=32, label_bucket=16).get_batch(0)
+    b16 = BatchLoader(s, time_bucket=32, label_bucket=16,
+                      transfer_dtype="bfloat16").get_batch(0)
+    assert b16["input_features"].dtype == ml_dtypes.bfloat16
+    assert b16["input_features"].nbytes * 2 == f32["input_features"].nbytes
+    a = f32["input_features"]
+    b = b16["input_features"].astype(np.float32)
+    denom = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / denom) <= 2.0 ** -8
+    # jnp round-trips the ml_dtypes array and the on-device upcast is exact
+    up = np.asarray(jnp.asarray(b16["input_features"]).astype(jnp.float32))
+    np.testing.assert_array_equal(up, b)
+    with pytest.raises(ValueError):
+        BatchLoader(s, transfer_dtype="float16")
+
+
 def test_days_per_batch_exceeds_days_raises(sessions):
     root, names = sessions
     paths = [f"{root}/{names[0]}/data_train.hdf5"]

@@ -99,6 +99,41 @@ def test_training_learns(trained):
     assert stats["val_PERs"][-1] < stats["val_PERs"][0] or stats["val_PERs"][-1] < 0.5
 
 
+def test_bf16_transfer_step_parity(tmp_path_factory):
+    """One jitted train step on a bf16-transferred batch matches the f32
+    batch's loss to bf16 quantization noise: the loader emits half-size
+    feature buffers (BatchLoader transfer_dtype) and loss_fn upcasts on
+    device, so the augment/smooth/CTC path is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    tmp_path = tmp_path_factory.mktemp("bf16t")
+    sessions = ["t15.2023.08.11", "t15.2023.08.13"]
+    synthetic.write_synthetic_sessions(
+        str(tmp_path), sessions, trials_per_session=8, neural_dim=16
+    )
+    cfg = _small_cfg(tmp_path, sessions, n_batches=2)
+    tr = Trainer(cfg)
+    cfg16 = _small_cfg(tmp_path, sessions, n_batches=2)
+    cfg16.feature_transfer_dtype = "bfloat16"
+    tr16 = Trainer(cfg16)  # same seeds → same sampled batches
+
+    def one_loss(trainer):
+        batch = trainer.train_loader.get_batch(0)
+        out = trainer._train_step(
+            trainer.params, trainer.opt_state, jax.random.PRNGKey(3),
+            jnp.asarray(batch["input_features"]),
+            jnp.asarray(batch["seq_class_ids"]),
+            jnp.asarray(batch["n_time_steps"]),
+            jnp.asarray(batch["phone_seq_lens"]),
+            jnp.asarray(batch["day_indicies"]),
+        )
+        return float(out[2])
+
+    l32, l16 = one_loss(tr), one_loss(tr16)
+    assert abs(l32 - l16) <= 0.02 * max(abs(l32), 1.0), (l32, l16)
+
+
 def test_checkpoint_saved_and_loadable(trained):
     cfg, trainer, _ = trained
     path = os.path.join(cfg.checkpoint_dir, "best_checkpoint")
