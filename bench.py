@@ -319,10 +319,13 @@ def main() -> None:
     nat_wer, nat_lo, nat_hi = aggregate_wer(all_sents, nat_results)
 
     # ---- host-overlapped pipeline: C++ decode WHILE the TPU runs stage 1.
-    # Bounded to 128 utterances: thread scheduling through the axon tunnel
-    # occasionally starves the decode thread (observed once in four runs);
-    # a bounded phase keeps the bench finite and the flake visible rather
-    # than fatal.
+    # Bounded to 128 utterances as a safety bound against the axon tunnel's
+    # occasional retry/wedge windows. Diagnosed (scripts/diagnose_overlap.py,
+    # round 4): the stage-1 sync waiter SLEEPS (0.05 CPU-fraction, no
+    # busy-poll) and steady-state overlap costs only ~1.13x median decode
+    # slowdown (GIL handoffs, 18/18 clean reps at 5k and 125k scale) — the
+    # round-3 1-in-4 "starvation" matched tunnel misbehavior windows, not a
+    # scheduling defect; a real multi-core host sees neither.
     n_ov = min(128, len(utts))
     box = {}
 
