@@ -176,9 +176,11 @@ def main():
 
     dcfg = DecodeConfig(
         acoustic_scale=0.325, blank_penalty=90.0, nbest=args.nbest,
-        beam_width=96, beam=17.0, first_beam_size=8, sum_mode=False,
+        beam_width=64, beam=17.0, first_beam_size=8, sum_mode=False,
         rescore=True, do_opt=True, alpha=0.55,
-    )
+    )  # K=64 canonical since round 4 (bench.py --beam_width rationale);
+    #    the 9.65 sent/s record was measured at K=96 — K=64 is re-measured
+    #    in the round-4 logs
     B, T = args.device_batch, 520
     t0 = time.perf_counter()
     (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng2,
