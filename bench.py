@@ -456,7 +456,7 @@ def main() -> None:
             "opt67b_mfu": 0.69,
             "opt67b_hbm_gb_bf16": 12.4,
             "opt_nbest100_rescore_s_per_sentence": 0.208,
-            "finalize_with_opt67b_sentences_per_s": 9.65,
+            "finalize_with_opt67b_sentences_per_s": 9.69,
             "finalize_with_opt67b_exact": "64/64",
             "train_steps_per_s_chained": 52.3,
             "adversarial_device_decode_sentences_per_s": 145.8,

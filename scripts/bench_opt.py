@@ -179,8 +179,7 @@ def main():
         beam_width=64, beam=17.0, first_beam_size=8, sum_mode=False,
         rescore=True, do_opt=True, alpha=0.55,
     )  # K=64 canonical since round 4 (bench.py --beam_width rationale);
-    #    the 9.65 sent/s record was measured at K=96 — K=64 is re-measured
-    #    in the round-4 logs
+    #    measured 9.69 sent/s at K=64 (9.65 at K=96), 64/64 exact
     B, T = args.device_batch, 520
     t0 = time.perf_counter()
     (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng2,
