@@ -20,6 +20,13 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    import argparse
+
+    argparse.ArgumentParser(
+        description="Simulated online streaming decode benchmark "
+        "(per-80 ms-hop latency; no options — production shapes)"
+    ).parse_args()
+
     import jax
     import jax.numpy as jnp
 

@@ -122,6 +122,12 @@ def bench_case(rows: int, rw: int, g: int, w: int):
 
 
 def main():
+    import argparse
+
+    argparse.ArgumentParser(
+        description="A/B a Mosaic async-DMA row-gather ring against XLA's "
+        "native gather on the searcher's random-row pattern"
+    ).parse_args()
     for rows, rw, g, w in [
         (1 << 17, 128, 4096, 8),
         (1 << 17, 128, 4096, 32),

@@ -51,6 +51,12 @@ def timeit(fn, *args, iters=20, reps=3):
 
 
 def main():
+    import argparse
+
+    argparse.ArgumentParser(
+        description="Decompose the training step's device cost "
+        "(transform/forward/loss/backward) at production shapes"
+    ).parse_args()
     cfg = TrainConfig()
     D, S = cfg.model.n_input_features, 128
     T = 512

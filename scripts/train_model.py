@@ -5,17 +5,24 @@ Usage: python scripts/train_model.py [path/to/rnn_args.yaml]
 The reference's rnn_args.yaml layout loads unchanged.
 """
 
+import argparse
 import sys
 
 sys.path.insert(0, ".")
 
-from b2txt_tpu.train import Trainer
-from b2txt_tpu.utils import load_args_yaml
-
 
 def main() -> None:
-    args_path = sys.argv[1] if len(sys.argv) > 1 else "rnn_args.yaml"
-    cfg = load_args_yaml(args_path)
+    p = argparse.ArgumentParser(
+        description="Train the GRU phoneme decoder from an rnn_args.yaml "
+        "(the reference's file loads unchanged)")
+    p.add_argument("args_yaml", nargs="?", default="rnn_args.yaml",
+                   help="path to rnn_args.yaml (default: ./rnn_args.yaml)")
+    args = p.parse_args()
+
+    from b2txt_tpu.train import Trainer
+    from b2txt_tpu.utils import load_args_yaml
+
+    cfg = load_args_yaml(args.args_yaml)
     trainer = Trainer(cfg)
     trainer.train()
 
