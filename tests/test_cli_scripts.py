@@ -165,6 +165,83 @@ def test_build_lm_uniform_wordlist_cli(tmp_path, monkeypatch):
         "cat", "hat", "mat"]
 
 
+def test_language_model_standalone_cli(tmp_path, monkeypatch):
+    """The serving entry point end to end at the CLI level: build_lm.py
+    artifacts → language_model_standalone.py main() (argparse → ARPA/lexicon
+    load → DecoderService → RedisDecoderServer.run) driven over the reference
+    wire protocol by RemoteLMClient against fakeredis (reference:
+    language-model-standalone.py:793-824 main + :514-790 loop)."""
+    import threading
+    import time
+
+    from b2txt_tpu.serve import fakeredis
+
+    fakeredis.install_fake_redis()
+    fakeredis.reset_all()
+
+    dict_path, corpus_path = _write_world(tmp_path)
+    lm_dir = str(tmp_path / "lm")
+    _run_main(
+        "build_lm.py",
+        ["--corpus", corpus_path, "--dict", dict_path, "--out", lm_dir,
+         "--order", "3", "--no-format"],
+        monkeypatch,
+    )
+
+    from b2txt_tpu.serve.redis_adapter import RedisDecoderServer
+    from b2txt_tpu.serve.redis_client import RemoteLMClient
+
+    captured = {}
+    orig_run = RedisDecoderServer.run
+
+    def run_capture(self, *a, **k):
+        captured["server"] = self
+        return orig_run(self, *a, **k)
+
+    monkeypatch.setattr(RedisDecoderServer, "run", run_capture)
+    # argv must be patched before the thread parses it
+    path = os.path.join(REPO, "scripts", "language_model_standalone.py")
+    monkeypatch.setattr(sys, "argv", [
+        path, "--lm_path", lm_dir, "--searcher", "python",
+        "--acoustic_scale", "0.5", "--blank_penalty", "1.0",
+        "--nbest", "5", "--beam_width", "32", "--beam", "0.0",
+    ])
+    monkeypatch.chdir(REPO)
+    thread = threading.Thread(
+        target=runpy.run_path, args=(path,), kwargs={"run_name": "__main__"},
+        daemon=True,
+    )
+    thread.start()
+    deadline = time.time() + 30
+    while "server" not in captured and time.time() < deadline:
+        time.sleep(0.02)
+    assert "server" in captured, "CLI never reached the server loop"
+    time.sleep(0.2)  # let the loop connect and set stream cursors
+    assert thread.is_alive()
+
+    try:
+        from b2txt_tpu.lm import Lexicon, NGramLM
+        from b2txt_tpu.utils.phonemes import rearrange_speech_logits
+
+        lm = NGramLM.from_arpa(os.path.join(lm_dir, "lm.arpa"))
+        lexicon = Lexicon.from_file(os.path.join(lm_dir, "lexicon.txt"),
+                                    vocab=lm.vocab)
+        client = RemoteLMClient()
+        client.reset()
+        sent = "the cat sat on the mat"
+        logits = rearrange_speech_logits(
+            _clean_logits(lexicon.sentence_to_phonemes(sent)))
+        partial = client.send_logits(logits)
+        assert partial
+        final = client.finalize()
+        assert final.sentence == sent
+        assert final.nbest and len(final.nbest[0]) == 5
+    finally:
+        captured["server"].stop()
+        thread.join(timeout=10)
+    assert not thread.is_alive()
+
+
 def test_convert_checkpoint_roundtrip_cli(tmp_path, monkeypatch):
     """tpu → torch → tpu through the CLI preserves every parameter."""
     import jax
