@@ -33,6 +33,21 @@ def main() -> None:
     p.add_argument("--do_opt", action="store_true")
     p.add_argument("--opt_model", type=str, default="facebook/opt-6.7b")
     p.add_argument("--opt_cache_dir", type=str, default=None)
+    p.add_argument("--opt_backend", default="torch", choices=["torch", "jax"],
+                   help="LLM rescorer: host transformers (reference parity) "
+                   "or the TPU-resident JAX OPT (decode/opt_lm.py)")
+    p.add_argument("--opt_weights", type=str, default=None,
+                   help="(jax) torch state_dict file of OPT weights; "
+                   "imported via params_from_hf and held bf16 in HBM")
+    p.add_argument("--opt_vocab", type=str, default=None,
+                   help="(jax) GPT-2 vocab.json for the byte-level BPE")
+    p.add_argument("--opt_merges", type=str, default=None,
+                   help="(jax) GPT-2 merges.txt")
+    p.add_argument("--opt_random_init", action="store_true",
+                   help="(jax) on-device random bf16 init instead of "
+                   "--opt_weights — throughput benchmarking only")
+    p.add_argument("--opt_size", default="6.7b", choices=["6.7b", "tiny"],
+                   help="(jax) architecture shapes (tiny is the test config)")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--searcher", default="native",
                    choices=["native", "device", "python"],
@@ -57,7 +72,45 @@ def main() -> None:
     if args.rescore and os.path.exists(unpruned):
         rescore_lm = NGramLM.from_arpa(unpruned)
     llm = None
-    if args.do_opt:
+    if args.do_opt and args.opt_backend == "jax":
+        import jax
+        import jax.numpy as jnp
+
+        from b2txt_tpu.decode.opt_lm import (
+            OPTConfig, OPTRescorer, init_params, params_from_hf,
+        )
+
+        cfg_opt = (OPTConfig.opt_6_7b() if args.opt_size == "6.7b"
+                   else OPTConfig.tiny())
+        encode = None
+        if args.opt_vocab and args.opt_merges:
+            from b2txt_tpu.utils.bpe import ByteBPE
+
+            encode = ByteBPE.for_opt(args.opt_vocab, args.opt_merges)
+        if args.opt_weights:
+            import torch
+
+            sd = torch.load(args.opt_weights, map_location="cpu",
+                            weights_only=False)
+            if not isinstance(sd, dict):
+                sd = sd.state_dict()
+            elif "model_state_dict" in sd:
+                sd = sd["model_state_dict"]
+            params = params_from_hf(sd, cfg_opt)
+            params = jax.device_put(jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), params))
+        elif args.opt_random_init:
+            # init in HBM: shipping 13.3 GB through a slow host link is the
+            # wrong default for a benchmark-only mode (bench_opt.py stage A)
+            params = jax.jit(
+                lambda k: init_params(k, cfg_opt, dtype=jnp.bfloat16)
+            )(jax.random.PRNGKey(0))
+        else:
+            p.error("--opt_backend jax requires --opt_weights or "
+                    "--opt_random_init")
+        llm = OPTRescorer(cfg_opt, params=params, encode=encode,
+                          compute_dtype=jnp.bfloat16)
+    elif args.do_opt:
         from b2txt_tpu.decode.rescore import TorchCausalLMRescorer
 
         llm = TorchCausalLMRescorer(args.opt_model, cache_dir=args.opt_cache_dir)

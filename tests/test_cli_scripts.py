@@ -165,11 +165,12 @@ def test_build_lm_uniform_wordlist_cli(tmp_path, monkeypatch):
         "cat", "hat", "mat"]
 
 
-def test_language_model_standalone_cli(tmp_path, monkeypatch):
-    """The serving entry point end to end at the CLI level: build_lm.py
-    artifacts → language_model_standalone.py main() (argparse → ARPA/lexicon
-    load → DecoderService → RedisDecoderServer.run) driven over the reference
-    wire protocol by RemoteLMClient against fakeredis (reference:
+def _drive_standalone(tmp_path, monkeypatch, extra_argv):
+    """Run language_model_standalone.py main() in a thread against fakeredis,
+    decode one planted utterance over the wire protocol, return the final.
+
+    Covers the CLI end to end: argparse → ARPA/lexicon load →
+    DecoderService → RedisDecoderServer.run (reference:
     language-model-standalone.py:793-824 main + :514-790 loop)."""
     import threading
     import time
@@ -205,14 +206,14 @@ def test_language_model_standalone_cli(tmp_path, monkeypatch):
         path, "--lm_path", lm_dir, "--searcher", "python",
         "--acoustic_scale", "0.5", "--blank_penalty", "1.0",
         "--nbest", "5", "--beam_width", "32", "--beam", "0.0",
-    ])
+    ] + extra_argv)
     monkeypatch.chdir(REPO)
     thread = threading.Thread(
         target=runpy.run_path, args=(path,), kwargs={"run_name": "__main__"},
         daemon=True,
     )
     thread.start()
-    deadline = time.time() + 30
+    deadline = time.time() + 60
     while "server" not in captured and time.time() < deadline:
         time.sleep(0.02)
     assert "server" in captured, "CLI never reached the server loop"
@@ -234,12 +235,34 @@ def test_language_model_standalone_cli(tmp_path, monkeypatch):
         partial = client.send_logits(logits)
         assert partial
         final = client.finalize()
-        assert final.sentence == sent
-        assert final.nbest and len(final.nbest[0]) == 5
     finally:
         captured["server"].stop()
         thread.join(timeout=10)
     assert not thread.is_alive()
+    return sent, final
+
+
+def test_language_model_standalone_cli(tmp_path, monkeypatch):
+    sent, final = _drive_standalone(tmp_path, monkeypatch, [])
+    assert final.sentence == sent
+    assert final.nbest and len(final.nbest[0]) == 5
+
+
+def test_language_model_standalone_cli_jax_opt(tmp_path, monkeypatch):
+    """--do_opt --opt_backend jax wires the TPU-native OPT rescorer into the
+    serving loop (tiny shapes, random init); the finalize carries nonzero
+    llm scores blended into the totals."""
+    sent, final = _drive_standalone(
+        tmp_path, monkeypatch,
+        ["--do_opt", "--opt_backend", "jax", "--opt_size", "tiny",
+         "--opt_random_init", "--alpha", "0.3"],
+    )
+    assert final.nbest and len(final.nbest[0]) == 5
+    llm_scores = [c[3] for c in final.nbest]
+    assert any(abs(s) > 1e-6 for s in llm_scores)
+    # the planted sentence must still win under the 0.3-alpha blend of a
+    # random tiny LLM (the ngram + acoustic margins are decisive here)
+    assert final.sentence == sent
 
 
 def test_convert_checkpoint_roundtrip_cli(tmp_path, monkeypatch):
