@@ -241,9 +241,16 @@ def main() -> None:
                    help="probe the LM for only the top-C unigram-ranked "
                         "homophones per close (device searcher; tail slots "
                         "take the exact backoff-chain score, the on-chip "
-                        "pool rescore restores exact scores on survivors)")
+                        "pool rescore restores exact scores on survivors). "
+                        "Default: 2 on --adversarial (measured 1.2x at "
+                        "byte-identical quality, ROUND4.md §5), exact "
+                        "probing on the friendly world (where it is ~30% "
+                        "slower); pass a value ≥ max_homophones to force "
+                        "exact probing on --adversarial")
     args = p.parse_args()
     max_h = args.max_homophones or (6 if args.adversarial else 4)
+    if args.close_top is None and args.adversarial:
+        args.close_top = 2
 
     from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
     from b2txt_tpu.runtime import NativeLexiconBeamSearch

@@ -32,3 +32,26 @@ def test_bench_main_tiny(tmp_path):
     # tiny-scale sanity: the planted fixture must still decode perfectly
     assert e["device_exact"] == "4/4"
     assert e["native_exact"] == "4/4"
+
+
+def test_bench_main_tiny_adversarial(tmp_path):
+    """--adversarial wiring: homophone-dense world, close_probe_top=2
+    default (measured-best, ROUND4.md §5), lexicon stats in the JSON."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import sys; sys.argv=['bench.py','--adversarial','--vocab','300',\n"
+        "  '--utts','4','--device_batch','2','--bins','288']\n"
+        "exec(open('bench.py').read())\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=1800, cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, r.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    e = d["extra"]
+    assert e["adversarial"] is True
+    assert e["close_probe_top"] == 2
+    assert "lexicon_stats" in e
+    # quality keys still present on the homophone-dense world
+    assert "device_wer" in e and "native_wer" in e
