@@ -232,11 +232,15 @@ def main() -> None:
                    help="phone-extension prune: per-frame top-k phones "
                         "(8 canonical; each unit is one gathered row per "
                         "beam per frame)")
-    p.add_argument("--beam_width", type=int, default=64,
-                   help="device/native beam width K. 64 is canonical since "
-                        "round 4: measured 512/512 exact / 0 search errors "
-                        "on the friendly world AND matched quality on the "
-                        "adversarial world vs K=96 (see docs/ROUND4.md)")
+    p.add_argument("--beam_width", type=int, default=48,
+                   help="device/native beam width K. 48 is canonical (late "
+                        "round 4): measured 512/512 exact / 0 search errors "
+                        "/ WER 0 on the friendly world in two runs AND "
+                        "matched quality on the adversarial world vs K=64/96"
+                        " (237 vs 240/512, identical 13.96% WER, 0 search "
+                        "errors; the misses are the world's counts-equal "
+                        "homophone ties). K=32 loses the frontier: 511/512. "
+                        "See docs/ROUND4.md §11")
     p.add_argument("--close_top", type=int, default=None,
                    help="probe the LM for only the top-C unigram-ranked "
                         "homophones per close (device searcher; tail slots "
@@ -466,10 +470,11 @@ def main() -> None:
             "finalize_with_opt67b_sentences_per_s": 9.69,
             "finalize_with_opt67b_exact": "64/64",
             "train_steps_per_s_chained": 52.3,
-            "adversarial_device_decode_sentences_per_s": 145.8,
-            "adversarial_native_sentences_per_s": 137.6,
+            "adversarial_connected_sentences_per_s": 176.3,
+            "adversarial_device_decode_sentences_per_s": 207.9,
+            "adversarial_native_sentences_per_s": 147.5,
             "adversarial_close_probe_top": 2,
-            "adversarial_beam_width": 64,
+            "adversarial_beam_width": 48,
             "source": "scripts/bench_opt.py --full | scripts/bench_training"
                       ".py | bench.py --adversarial (BENCH logs, round 4)",
         }
