@@ -176,10 +176,12 @@ def main():
 
     dcfg = DecodeConfig(
         acoustic_scale=0.325, blank_penalty=90.0, nbest=args.nbest,
-        beam_width=64, beam=17.0, first_beam_size=8, sum_mode=False,
+        beam_width=48, beam=17.0, first_beam_size=8, sum_mode=False,
         rescore=True, do_opt=True, alpha=0.55,
-    )  # K=64 canonical since round 4 (bench.py --beam_width rationale);
-    #    measured 9.69 sent/s at K=64 (9.65 at K=96), 64/64 exact
+    )  # K=48 canonical since the late-round-4 frontier sweep (bench.py
+    #    --beam_width rationale); measured 9.69 sent/s at K=64 (9.65 at
+    #    K=96), 64/64 exact — the OPT forward dominates this path, so K
+    #    moves it little
     B, T = args.device_batch, 520
     t0 = time.perf_counter()
     (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng2,

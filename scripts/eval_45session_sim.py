@@ -35,6 +35,11 @@ def main() -> None:
                         "only): only greedy argmax ids are fetched, stage 2 "
                         "consumes the stage-1 device arrays directly")
     p.add_argument("--out", default=None)
+    p.add_argument("--beam_width", type=int, default=128,
+                   help="beam K (random-weight soft posteriors need a wide "
+                        "beam; the recorded 1.49-min device-resident run "
+                        "used 128 — trained-sharpness posteriors hold "
+                        "quality down to the canonical 48, bench.py)")
     args = p.parse_args()
 
     import jax
@@ -85,7 +90,7 @@ def main() -> None:
             f.write(f"{w.upper()}  {' '.join(strip_stress(pron))}\n")
 
     dcfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=2.0, nbest=10,
-                        beam_width=128)
+                        beam_width=args.beam_width)
     decoder = DecoderService(
         lexicon, lm, dcfg, channel_order="model",
         searcher_backend=args.searcher, arpa_path=arpa, lexicon_path=lexp,
