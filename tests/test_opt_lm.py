@@ -181,3 +181,56 @@ def test_6_7b_tp_specs_compile():
     fc1_sharding = compiled.input_shardings[0][0]["layers"][0]["fc1_w"]
     shard_shape = fc1_sharding.shard_shape((cfg.hidden_size, cfg.ffn_dim))
     assert shard_shape == (cfg.hidden_size, cfg.ffn_dim // 4)
+
+
+def test_packed_scoring_matches_unpacked(tiny_pair):
+    """Sequence packing (several hypotheses per row, block-diagonal causal
+    attention + within-segment positions) must return the same per-text
+    scores as one-row-per-text scoring — the packed path is the default in
+    OPTRescorer.score, so this is its correctness anchor."""
+    cfg, _, params = tiny_pair
+    rng = np.random.default_rng(3)
+    texts = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+             for n in [1, 2, 3, 5, 9, 9, 14, 23, 40, 40, 7, 11, 2, 31, 6,
+                       17, 29]]
+    enc = lambda t, n: [(3 + 17 * b) % cfg.vocab_size  # noqa: E731
+                        for b in t.encode()][:n]
+    packed = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                                pack=True)
+    flat = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                              pack=False)
+    for pen in (0.0, 0.75):
+        got = packed.score(texts, length_penalty=pen)
+        want = flat.score(texts, length_penalty=pen)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    # bf16 (the 6.7b serving dtype): fully-masked padding-query rows must not
+    # NaN (regression: f32's finfo.min cast to bf16 rounds to -inf)
+    pb = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                            pack=True, compute_dtype=jnp.bfloat16)
+    fb = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                            pack=False, compute_dtype=jnp.bfloat16)
+    gb, wb = pb.score(texts), fb.score(texts)
+    assert np.all(np.isfinite(gb))
+    np.testing.assert_allclose(gb, wb, rtol=2e-2, atol=0.35)
+    # the packing actually packed: rows needed < one per text
+    rows = opt_lm.pack_sequences([enc(t, 48) for t in texts], 64)
+    assert len(rows) < len(texts)
+
+
+def test_packed_scoring_on_mesh(tiny_pair):
+    """Packed scoring under the ("data","model") mesh shardings equals the
+    host path (segment sums cross the data axis via XLA's psum)."""
+    cfg, _, params = tiny_pair
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    texts = ["alpha beta", "g", "the longest of the candidate texts here",
+             "mid sized one", "another medium candidate"]
+    enc = lambda t, n: [(5 + 13 * b) % cfg.vocab_size  # noqa: E731
+                        for b in t.encode()][:n]
+    host = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                              pack=True)
+    sharded = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                                 pack=True, mesh=mesh)
+    np.testing.assert_allclose(
+        sharded.score(texts), host.score(texts), rtol=1e-4, atol=1e-3
+    )
