@@ -288,6 +288,10 @@ def llm_rescore(
 
     try:
         llm_scores = np.asarray(scorer.score(hyps, length_penalty))
+        if not np.all(np.isfinite(llm_scores)):
+            # a NaN/inf would silently poison every blended total downstream
+            # of argmax; treat like a scorer failure (reference :214-226)
+            raise FloatingPointError("non-finite LLM scores")
     except Exception as e:  # batched retry then zeros (reference :214-226)
         logging.error(f"Error during LLM rescore: {e}")
         try:
@@ -296,6 +300,8 @@ def llm_rescore(
             for i in range(0, len(hyps), step):
                 llm_scores.extend(scorer.score(hyps[i : i + step], length_penalty))
             llm_scores = np.asarray(llm_scores)
+            if not np.all(np.isfinite(llm_scores)):
+                raise FloatingPointError("non-finite LLM scores")
         except Exception as e2:
             logging.error(f"Error during LLM rescore: {e2}")
             llm_scores = np.zeros(len(hyps))

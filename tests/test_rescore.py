@@ -118,6 +118,19 @@ def test_llm_rescore_error_fallback():
     assert out.nbest[0][3] == 0.0
 
 
+def test_llm_rescore_nonfinite_fallback():
+    """NaN/inf scorer output is treated like a scorer failure (zeros), not
+    blended — a NaN total would win argmax and corrupt the pick."""
+    class NaNScorer:
+        def score(self, texts, length_penalty=0.0):
+            return [float("nan")] * len(texts)
+
+    out = llm_rescore(NaNScorer(), [("a b", -1.0, -2.0), ("c d", -1.5, -1.0)],
+                      0.3, 0.5)
+    assert all(row[3] == 0.0 for row in out.nbest)
+    assert np.isfinite([row[4] for row in out.nbest]).all()
+
+
 def test_llm_rescore_empty():
     lm = train_ngram(CORPUS, order=2)
     out = llm_rescore(NGramLLMAdapter(lm), [("", -1.0, -1.0)], 0.3, 0.5)
