@@ -57,6 +57,10 @@ def main():
         description="Decompose the training step's device cost "
         "(transform/forward/loss/backward) at production shapes"
     ).parse_args()
+    # backend init only AFTER argparse: --help must not touch the axon
+    # tunnel (it can wedge for tens of minutes, and the plugin ignores
+    # JAX_PLATFORMS=cpu from the environment)
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
     cfg = TrainConfig()
     D, S = cfg.model.n_input_features, 128
     T = 512
@@ -223,5 +227,4 @@ def main():
 
 
 if __name__ == "__main__":
-    print(json.dumps({"backend": jax.default_backend()}), flush=True)
     main()
