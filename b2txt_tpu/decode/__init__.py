@@ -8,6 +8,7 @@ from .rescore import (
     augment_nbest,
     get_string_differences,
     llm_rescore,
+    llm_rescore_async,
     rescore_nbest_with_ngram,
 )
 

@@ -388,13 +388,15 @@ class OPTRescorer:
             self._packed[n_segments] = fn
         return fn
 
-    def _score_packed(
+    def _score_packed_begin(
         self, ids: List[List[int]], length_penalty: float
-    ) -> List[float]:
+    ) -> Callable[[], List[float]]:
         """Pack the hypotheses several-per-row (block-diagonal attention) so
         the 6.7b forward runs over ~real-token counts instead of one padded
         16-token row per ~10-token hypothesis. Score-identical to the
-        unpacked path (tests/test_opt_lm.py packed-parity)."""
+        unpacked path (tests/test_opt_lm.py packed-parity). Dispatches the
+        forward and returns a zero-arg fetch — JAX dispatch is async, so the
+        host only blocks inside the fetch."""
         n = len(ids)
         longest = max((len(s) for s in ids), default=1)
         L = min(self.max_len, max(64, -(-longest // 16) * 16))
@@ -417,15 +419,18 @@ class OPTRescorer:
         fn = self._packed_score_fn(n_segments)
         sums, cnt = fn(self.params, jnp.asarray(tokens), jnp.asarray(seg),
                        jnp.asarray(pos))
-        sums = np.asarray(sums)[1 : n + 1]
-        cnt = np.asarray(cnt)[1 : n + 1]
-        return (sums - cnt * length_penalty).tolist()
 
-    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
-        n = len(texts)
-        ids = [self.encode(t, self.max_len) for t in texts]
-        if self.pack:
-            return self._score_packed(ids, length_penalty)
+        def fetch() -> List[float]:
+            s = np.asarray(sums)[1 : n + 1]
+            c = np.asarray(cnt)[1 : n + 1]
+            return (s - c * length_penalty).tolist()
+
+        return fetch
+
+    def _score_unpacked_begin(
+        self, ids: List[List[int]], length_penalty: float
+    ) -> Callable[[], List[float]]:
+        n = len(ids)
         # short n-best hypotheses are ~10 tokens: a 16-token L bucket halves
         # the padded token count vs a 32 floor (the forward is
         # padded-tokens-bound at 6.7b — measured 0.37 s per 100-candidate
@@ -444,6 +449,25 @@ class OPTRescorer:
             mask[i, : len(seq)] = 1.0
         sums, n_tok = self._score(self.params, jnp.asarray(tokens),
                                   jnp.asarray(mask))
-        sums = np.asarray(sums)[:n]
-        n_tok = np.asarray(n_tok)[:n]
-        return (sums - n_tok * length_penalty).tolist()
+
+        def fetch() -> List[float]:
+            s = np.asarray(sums)[:n]
+            t = np.asarray(n_tok)[:n]
+            return (s - t * length_penalty).tolist()
+
+        return fetch
+
+    def score_async(
+        self, texts: Sequence[str], length_penalty: float = 0.0
+    ) -> Callable[[], List[float]]:
+        """Dispatch the scoring forward NOW; the returned zero-arg callable
+        fetches the scores. Lets a caller overlap the next utterance's host
+        finalize work (augment, packing) under this utterance's device
+        forward — see decode/rescore.py llm_rescore_async."""
+        ids = [self.encode(t, self.max_len) for t in texts]
+        if self.pack:
+            return self._score_packed_begin(ids, length_penalty)
+        return self._score_unpacked_begin(ids, length_penalty)
+
+    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+        return self.score_async(texts, length_penalty)()

@@ -253,17 +253,9 @@ class RescoreOutput:
     confidence: Optional[float] = None
 
 
-def llm_rescore(
-    scorer: LLMScorer,
-    nbest: NBest,
-    acoustic_scale: float,
-    alpha: float,
-    length_penalty: float = 0.0,
-    context: Optional[str] = None,
-    batch_fallback: int = 5,
-) -> RescoreOutput:
-    """α-blend LLM rescoring of an n-best list (gpt2_lm_decode parity,
-    :165-251): total = acoustic_scale·ac + (1−α)·ngram + α·llm."""
+def _prep_hyps(nbest: NBest, context: Optional[str]):
+    """Drop empty candidates, prepend context, clean text (gpt2_lm_decode
+    :165-199). Returns (hyps to score, kept rows, ac scores, ngram scores)."""
     hyps: List[str] = []
     ac: List[float] = []
     ngram: List[float] = []
@@ -282,30 +274,38 @@ def llm_rescore(
         ac.append(a)
         ngram.append(l)
         kept.append((s, a, l))
+    return hyps, kept, ac, ngram
 
-    if not hyps:
-        return RescoreOutput(best="", nbest=[], confidence=0.0)
 
+def _fallback_scores(
+    scorer: LLMScorer, hyps: List[str], length_penalty: float,
+    batch_fallback: int, err: Exception,
+) -> np.ndarray:
+    """Batched retry then zeros (reference :214-226)."""
+    logging.error(f"Error during LLM rescore: {err}")
     try:
-        llm_scores = np.asarray(scorer.score(hyps, length_penalty))
-        if not np.all(np.isfinite(llm_scores)):
-            # a NaN/inf would silently poison every blended total downstream
-            # of argmax; treat like a scorer failure (reference :214-226)
+        llm_scores: List[float] = []
+        step = int(np.ceil(len(hyps) / batch_fallback))
+        for i in range(0, len(hyps), step):
+            llm_scores.extend(scorer.score(hyps[i : i + step], length_penalty))
+        arr = np.asarray(llm_scores)
+        if not np.all(np.isfinite(arr)):
             raise FloatingPointError("non-finite LLM scores")
-    except Exception as e:  # batched retry then zeros (reference :214-226)
-        logging.error(f"Error during LLM rescore: {e}")
-        try:
-            llm_scores = []
-            step = int(np.ceil(len(hyps) / batch_fallback))
-            for i in range(0, len(hyps), step):
-                llm_scores.extend(scorer.score(hyps[i : i + step], length_penalty))
-            llm_scores = np.asarray(llm_scores)
-            if not np.all(np.isfinite(llm_scores)):
-                raise FloatingPointError("non-finite LLM scores")
-        except Exception as e2:
-            logging.error(f"Error during LLM rescore: {e2}")
-            llm_scores = np.zeros(len(hyps))
+        return arr
+    except Exception as e2:
+        logging.error(f"Error during LLM rescore: {e2}")
+        return np.zeros(len(hyps))
 
+
+def _blend(
+    kept: List[Tuple[str, float, float]],
+    ac: List[float],
+    ngram: List[float],
+    llm_scores: np.ndarray,
+    acoustic_scale: float,
+    alpha: float,
+) -> RescoreOutput:
+    """total = acoustic_scale·ac + (1−α)·ngram + α·llm (:231-251)."""
     ac_arr = np.asarray(ac)
     ngram_arr = np.asarray(ngram)
     totals = acoustic_scale * ac_arr + (1 - alpha) * ngram_arr + alpha * llm_scores
@@ -320,3 +320,79 @@ def llm_rescore(
     probs = np.exp(shifted)
     conf = float(probs[best_idx] / probs.sum())
     return RescoreOutput(best=kept[best_idx][0].strip(), nbest=out_rows, confidence=conf)
+
+
+def llm_rescore(
+    scorer: LLMScorer,
+    nbest: NBest,
+    acoustic_scale: float,
+    alpha: float,
+    length_penalty: float = 0.0,
+    context: Optional[str] = None,
+    batch_fallback: int = 5,
+) -> RescoreOutput:
+    """α-blend LLM rescoring of an n-best list (gpt2_lm_decode parity,
+    :165-251): total = acoustic_scale·ac + (1−α)·ngram + α·llm."""
+    hyps, kept, ac, ngram = _prep_hyps(nbest, context)
+    if not hyps:
+        return RescoreOutput(best="", nbest=[], confidence=0.0)
+
+    try:
+        llm_scores = np.asarray(scorer.score(hyps, length_penalty))
+        if not np.all(np.isfinite(llm_scores)):
+            # a NaN/inf would silently poison every blended total downstream
+            # of argmax; treat like a scorer failure (reference :214-226)
+            raise FloatingPointError("non-finite LLM scores")
+    except Exception as e:
+        llm_scores = _fallback_scores(scorer, hyps, length_penalty,
+                                      batch_fallback, e)
+    return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
+
+
+def llm_rescore_async(
+    scorer: LLMScorer,
+    nbest: NBest,
+    acoustic_scale: float,
+    alpha: float,
+    length_penalty: float = 0.0,
+    context: Optional[str] = None,
+    batch_fallback: int = 5,
+):
+    """Begin an LLM rescore; returns a zero-arg callable producing the
+    RescoreOutput.
+
+    With a scorer exposing ``score_async`` (the JAX OPT rescorer), the device
+    forward is DISPATCHED now and fetched inside the returned thunk — so the
+    caller can overlap the next utterance's host work (unpruned rescore,
+    augment_nbest, token packing) under this utterance's 6.7b forward.
+    Scorers without ``score_async`` fall back to a thunk that runs the
+    synchronous :func:`llm_rescore` path. Identical outputs and failure
+    semantics (finite-guard, batched retry, zeros) either way.
+    """
+    hyps, kept, ac, ngram = _prep_hyps(nbest, context)
+    if not hyps:
+        return lambda: RescoreOutput(best="", nbest=[], confidence=0.0)
+
+    begin = getattr(scorer, "score_async", None)
+    fetch = None
+    if begin is not None:
+        try:
+            fetch = begin(hyps, length_penalty)
+        except Exception as e:  # dispatch failure → sync fallback in finish
+            logging.error(f"Error dispatching LLM rescore: {e}")
+            fetch = None
+
+    def finish() -> RescoreOutput:
+        try:
+            if fetch is None:  # no async support (or dispatch failed)
+                llm_scores = np.asarray(scorer.score(hyps, length_penalty))
+            else:
+                llm_scores = np.asarray(fetch())
+            if not np.all(np.isfinite(llm_scores)):
+                raise FloatingPointError("non-finite LLM scores")
+        except Exception as e:
+            llm_scores = _fallback_scores(scorer, hyps, length_penalty,
+                                          batch_fallback, e)
+        return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
+
+    return finish

@@ -30,7 +30,7 @@ from ..decode.rescore import (
     LLMScorer,
     RescoreOutput,
     augment_nbest,
-    llm_rescore,
+    llm_rescore_async,
     rescore_nbest_with_ngram,
     results_to_nbest,
 )
@@ -234,6 +234,16 @@ class DecoderService:
     def _finalize_results(self, results: List[DecodeResult]) -> FinalOutput:
         """Post-search pipeline (rescore → augment → LLM) for one utterance's
         n-best list — shared by the streaming and batched paths."""
+        return self._finalize_begin(results)()
+
+    def _finalize_begin(self, results: List[DecodeResult]):
+        """Host finalize (unpruned rescore → augment) + LLM DISPATCH for one
+        utterance; returns a zero-arg callable producing the FinalOutput.
+
+        The LLM forward (if any) is dispatched before returning — via
+        llm_rescore_async — so the batched paths can run the NEXT utterance's
+        host finalize work under this utterance's 6.7b device forward instead
+        of serializing [host prep → forward → fetch] per utterance."""
         cfg = self.config
         nbest = results_to_nbest(results)
 
@@ -256,17 +266,23 @@ class DecoderService:
 
         if cfg.do_opt and self.llm is not None and nbest:
             t = time.time()
-            out: RescoreOutput = llm_rescore(
+            finish = llm_rescore_async(
                 self.llm, nbest, cfg.acoustic_scale, cfg.alpha,
                 length_penalty=cfg.length_penalty, context=self.context or None,
             )
-            self.stats["llm_time"] = time.time() - t
-            LOG.info("LLM rescore time: %.3f" % self.stats["llm_time"])
-            final = FinalOutput(
-                sentence=out.best, nbest=out.nbest,
-                context=self.context, confidence=out.confidence,
-            )
-        elif nbest:
+            context = self.context
+
+            def done() -> FinalOutput:
+                out: RescoreOutput = finish()
+                self.stats["llm_time"] = time.time() - t
+                LOG.info("LLM rescore time: %.3f" % self.stats["llm_time"])
+                return FinalOutput(
+                    sentence=out.best, nbest=out.nbest,
+                    context=context, confidence=out.confidence,
+                )
+
+            return done
+        if nbest:
             rows = [
                 (s.strip(), a, l, 0.0, cfg.acoustic_scale * a + l)
                 for s, a, l in nbest
@@ -275,7 +291,7 @@ class DecoderService:
         else:
             LOG.error("No output from language model.")
             final = FinalOutput(sentence="", nbest=[], context=self.context)
-        return final
+        return lambda: final
 
     # -------------------------------------------------------------- helpers
     def decode_utterance(self, logits: np.ndarray, chunk: int = 0) -> FinalOutput:
@@ -322,16 +338,34 @@ class DecoderService:
                 lengths[i] = p.shape[0]
             batches.append((lp, lengths))
             sizes.append(n)
-        outs: List[FinalOutput] = []
         if hasattr(searcher, "decode_batches"):
             # software-pipelined: batch j+1's device scan overlaps batch j's
-            # host-side n-best extraction
-            for n, nbest_lists in zip(sizes, searcher.decode_batches(batches)):
-                outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
-        else:
-            for n, (lp, lengths) in zip(sizes, batches):
-                nbest_lists = searcher.decode_batch(lp, lengths)
-                outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
+            # host-side n-best extraction; finalize pipelines the per-
+            # utterance LLM forwards under the next utterances' host prep
+            return self._finalize_pipelined(
+                zip(sizes, searcher.decode_batches(batches)))
+        outs: List[FinalOutput] = []
+        for n, (lp, lengths) in zip(sizes, batches):
+            nbest_lists = searcher.decode_batch(lp, lengths)
+            outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
+        return outs
+
+    def _finalize_pipelined(self, batched_results) -> List[FinalOutput]:
+        """Finalize utterances from (n, nbest_lists) pairs with the LLM
+        forwards software-pipelined: every utterance's forward is dispatched
+        (``_finalize_begin``) before any fetch it doesn't depend on, bounded
+        to ``window`` outstanding forwards so the device dispatch queue stays
+        shallow. Without an LLM this degenerates to the plain loop (the
+        begin thunks are precomputed outputs)."""
+        window = 64
+        pending: List = []
+        outs: List[FinalOutput] = []
+        for n, nbest_lists in batched_results:
+            for r in nbest_lists[:n]:
+                pending.append(self._finalize_begin(r))
+                if len(pending) > window:
+                    outs.append(pending.pop(0)())
+        outs.extend(p() for p in pending)
         return outs
 
     def decode_batched_utterances(
@@ -352,7 +386,5 @@ class DecoderService:
             )
         if sizes is None:
             sizes = [lp.shape[0] for lp, _ in batches]
-        outs: List[FinalOutput] = []
-        for n, nbest_lists in zip(sizes, searcher.decode_batches(batches)):
-            outs.extend(self._finalize_results(r) for r in nbest_lists[:n])
-        return outs
+        return self._finalize_pipelined(
+            zip(sizes, searcher.decode_batches(batches)))

@@ -217,6 +217,24 @@ def test_packed_scoring_matches_unpacked(tiny_pair):
     assert len(rows) < len(texts)
 
 
+def test_score_async_matches_score(tiny_pair):
+    """score_async dispatches now and fetches in the thunk; results must be
+    identical to the synchronous score on both the packed and unpacked
+    paths (the service pipelines finalize through score_async)."""
+    cfg, _, params = tiny_pair
+    texts = ["alpha beta", "g", "a mid sized candidate", "tail"]
+    enc = lambda t, n: [(3 + 17 * b) % cfg.vocab_size  # noqa: E731
+                        for b in t.encode()][:n]
+    for pack in (True, False):
+        r = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+                               pack=pack)
+        fetches = [r.score_async(texts, length_penalty=0.25),
+                   r.score_async(texts[:2])]  # two in flight at once
+        np.testing.assert_allclose(
+            fetches[0](), r.score(texts, length_penalty=0.25), rtol=1e-5)
+        np.testing.assert_allclose(fetches[1](), r.score(texts[:2]), rtol=1e-5)
+
+
 def test_packed_scoring_on_mesh(tiny_pair):
     """Packed scoring under the ("data","model") mesh shardings equals the
     host path (segment sums cross the data axis via XLA's psum)."""

@@ -8,6 +8,7 @@ from b2txt_tpu.decode.rescore import (
     augment_nbest,
     get_string_differences,
     llm_rescore,
+    llm_rescore_async,
     rescore_nbest_with_ngram,
 )
 from b2txt_tpu.lm import train_ngram
@@ -129,6 +130,62 @@ def test_llm_rescore_nonfinite_fallback():
                       0.3, 0.5)
     assert all(row[3] == 0.0 for row in out.nbest)
     assert np.isfinite([row[4] for row in out.nbest]).all()
+
+
+def test_llm_rescore_async_sync_fallback_parity():
+    """Scorers without score_async produce byte-identical RescoreOutput
+    through the async entry point."""
+    lm = train_ngram(CORPUS, order=2)
+    nbest = [("a b", -1.0, -2.0), ("c d", -1.5, -1.0), ("", -9.0, -9.0)]
+    sync = llm_rescore(NGramLLMAdapter(lm), nbest, 0.3, 0.5, length_penalty=0.1)
+    out = llm_rescore_async(NGramLLMAdapter(lm), nbest, 0.3, 0.5,
+                            length_penalty=0.1)()
+    assert out == sync
+
+
+def test_llm_rescore_async_dispatch_then_fetch():
+    """With a score_async scorer the forward is dispatched at begin time and
+    fetched only inside the thunk — and the blended output matches the sync
+    path on the same scores."""
+    calls = []
+
+    class AsyncScorer:
+        def score(self, texts, length_penalty=0.0):
+            calls.append("sync")
+            return [-float(len(t)) for t in texts]
+
+        def score_async(self, texts, length_penalty=0.0):
+            calls.append("begin")
+
+            def fetch():
+                calls.append("fetch")
+                return [-float(len(t)) for t in texts]
+
+            return fetch
+
+    nbest = [("a b", -1.0, -2.0), ("c", -1.5, -1.0)]
+    thunk = llm_rescore_async(AsyncScorer(), nbest, 0.3, 0.5)
+    assert calls == ["begin"]
+    out = thunk()
+    assert calls == ["begin", "fetch"]
+    assert out == llm_rescore(AsyncScorer(), nbest, 0.3, 0.5)
+
+
+def test_llm_rescore_async_fetch_failure_falls_back():
+    """A fetch-time failure goes through the same batched-retry path as the
+    sync entry point (reference :214-226)."""
+    class FailFetch:
+        def score(self, texts, length_penalty=0.0):  # the retry succeeds
+            return [0.5] * len(texts)
+
+        def score_async(self, texts, length_penalty=0.0):
+            def fetch():
+                raise RuntimeError("tunnel dropped")
+
+            return fetch
+
+    out = llm_rescore_async(FailFetch(), [("a b", -1.0, -2.0)], 0.3, 0.5)()
+    assert out.nbest[0][3] == 0.5
 
 
 def test_llm_rescore_empty():
