@@ -106,7 +106,10 @@ def forward(
     compute_dtype=jnp.float32,
     positions: Optional[jax.Array] = None,     # (B, L) int32 within-sequence
     segment_ids: Optional[jax.Array] = None,   # (B, L) int32, 0 = padding
-) -> jax.Array:
+    prefix_kv: Optional[List] = None,          # per-layer (k, v) (1, C, H, hd)
+    prefix_mask: Optional[jax.Array] = None,   # (1, C) 1.0 = real prefix tok
+    return_kv: bool = False,
+):
     """Logits (B, L, vocab). Matches transformers.OPTForCausalLM with
     do_layer_norm_before=True and tied lm_head (modeling parity tested).
 
@@ -115,7 +118,15 @@ def forward(
     within its own segment) and ``positions`` must give the 0-based index of
     each token *within its segment* — sequence packing for the rescorer's
     short n-best hypotheses, whose forward is otherwise padded-tokens-bound
-    (10-token hypotheses in 16-token rows)."""
+    (10-token hypotheses in 16-token rows).
+
+    ``prefix_kv`` cross-attends every query to a cached context's keys and
+    values (positions must then be offset by the prefix length by the
+    caller): because causal hidden states never depend on later positions,
+    the cached K/V equal what a concatenated context+hypothesis forward
+    would compute — the shared-context rescoring path runs the context ONCE
+    instead of once per candidate. ``return_kv`` collects this cache.
+    """
     B, L = tokens.shape
     D = cfg.hidden_size
     hd = D // cfg.num_heads
@@ -137,13 +148,26 @@ def forward(
     if segment_ids is not None:
         same = segment_ids[:, :, None] == segment_ids[:, None, :]  # (B,L,L)
         mask = mask & same[:, None]
+    if prefix_kv is not None:
+        # every query may attend to every REAL prefix position (the prefix
+        # is wholly earlier in the causal order); prefix keys prepend along
+        # the key axis below
+        C = prefix_kv[0][0].shape[1]
+        if prefix_mask is None:
+            pm = jnp.ones((1, 1, 1, C), bool)
+        else:
+            pm = (prefix_mask > 0.5)[:, None, None, :]
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(pm, (B, 1, L, C)), mask], axis=-1
+        )
     # the compute dtype's OWN finite min (transformers uses torch.finfo(dtype)
     # .min likewise): f32's min cast to bf16 rounds to -inf, and a fully
     # masked padding-query row would then softmax to NaN, which 0-weight ×
     # NaN spreads into real positions through the next layer's values
     neg = jnp.asarray(jnp.finfo(compute_dtype).min, compute_dtype)
 
-    for blk in params["layers"]:
+    kv_cache: List = []
+    for li, blk in enumerate(params["layers"]):
         h = _ln(x, jax.tree_util.tree_map(cast, blk["ln_attn"]))
         q = (h @ cast(blk["q_w"]) + cast(blk["q_b"])) * (hd ** -0.5)
         k = h @ cast(blk["k_w"]) + cast(blk["k_b"])
@@ -151,6 +175,16 @@ def forward(
         q = q.reshape(B, L, cfg.num_heads, hd)
         k = k.reshape(B, L, cfg.num_heads, hd)
         v = v.reshape(B, L, cfg.num_heads, hd)
+        if return_kv:
+            kv_cache.append((k, v))
+        if prefix_kv is not None:
+            kp, vp = prefix_kv[li]
+            k = jnp.concatenate(
+                [jnp.broadcast_to(cast(kp), (B,) + kp.shape[1:]), k], axis=1
+            )
+            v = jnp.concatenate(
+                [jnp.broadcast_to(cast(vp), (B,) + vp.shape[1:]), v], axis=1
+            )
         att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                          preferred_element_type=compute_dtype)
         att = jnp.where(mask, att, neg)
@@ -166,7 +200,10 @@ def forward(
         x = x + h @ cast(blk["fc2_w"]) + cast(blk["fc2_b"])
 
     x = _ln(x, jax.tree_util.tree_map(cast, params["ln_f"]))
-    return (x @ emb.T).astype(jnp.float32)
+    logits = (x @ emb.T).astype(jnp.float32)
+    if return_kv:
+        return logits, kv_cache
+    return logits
 
 
 def params_from_hf(state_dict: Dict[str, Any], cfg: OPTConfig) -> Params:
@@ -284,6 +321,73 @@ def score_packed_fn(cfg: OPTConfig, n_segments: int, compute_dtype=jnp.float32):
     return score
 
 
+def score_prefix_packed_fn(
+    cfg: OPTConfig, n_segments: int, compute_dtype=jnp.float32
+):
+    """Shared-context variant of :func:`score_packed_fn` for the reference's
+    conversational rescoring mode (gpt2_lm_decode's context prefix,
+    standalone :165-199): every candidate is scored as context+hypothesis,
+    but the context forward runs ONCE — its per-layer K/V are cached and
+    cross-attended by the packed hypothesis rows — instead of once per
+    candidate (the reference re-runs the full concatenation for each of the
+    ~100 candidates).
+
+    Per-hypothesis sums include the context's own token log-probs (a shared
+    constant — kept for exact parity with concatenated scoring) and the
+    cross-boundary P(first hyp token | context) read from the context's last
+    real position; counts include the context tokens. ``positions`` must be
+    0-based WITHIN each hypothesis; the prefix offset is added here.
+    """
+
+    def score(params, ctx, n_ctx, tokens, segment_ids, positions):
+        # ctx (1, Cb) right-padded; n_ctx () int32 = real length (incl. BOS)
+        Cb = ctx.shape[1]
+        ctx_mask = (jnp.arange(Cb) < n_ctx)[None, :].astype(jnp.float32)
+        ctx_logits, kv = forward(params, ctx, ctx_mask, cfg, compute_dtype,
+                                 return_kv=True)
+        clp = jax.nn.log_softmax(ctx_logits, axis=-1)          # (1, Cb, V)
+        # context self-score: P(ctx[j] | ctx[<j]) for j = 1..n_ctx-1
+        pair_lp = jnp.take_along_axis(
+            clp[0, :-1], ctx[0, 1:, None], axis=-1
+        )[..., 0]
+        ctx_sum = (pair_lp * (jnp.arange(Cb - 1) < n_ctx - 1)).sum()
+        last_row = clp[0, n_ctx - 1]                           # (V,)
+
+        mask = (segment_ids > 0).astype(jnp.float32)
+        logits = forward(params, tokens, mask, cfg, compute_dtype,
+                         positions=positions + n_ctx, segment_ids=segment_ids,
+                         prefix_kv=kv, prefix_mask=ctx_mask)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(
+            lp[:, :-1], tokens[:, 1:, None], axis=2
+        )[..., 0]
+        valid = (segment_ids[:, :-1] == segment_ids[:, 1:]) & (
+            segment_ids[:, 1:] > 0
+        )
+        seg = jnp.where(valid, segment_ids[:, 1:], 0)
+        sums = jax.ops.segment_sum(
+            (tok_lp * valid).reshape(-1), seg.reshape(-1),
+            num_segments=n_segments,
+        )
+        # each hypothesis' FIRST token is scored from the context's last row
+        first = (segment_ids > 0) & (positions == 0)
+        first_lp = last_row[tokens] * first
+        sums = sums + jax.ops.segment_sum(
+            first_lp.reshape(-1),
+            jnp.where(first, segment_ids, 0).reshape(-1),
+            num_segments=n_segments,
+        )
+        cnt = jax.ops.segment_sum(
+            mask.reshape(-1), segment_ids.reshape(-1),
+            num_segments=n_segments,
+        )
+        # context log-prob and token count are shared constants — included
+        # so totals equal concatenated context+hypothesis scoring exactly
+        return sums + ctx_sum, cnt + n_ctx
+
+    return score
+
+
 def pack_sequences(ids: Sequence[Sequence[int]], capacity: int):
     """First-fit-decreasing bin packing of token id lists into rows of
     ``capacity`` tokens. Returns (rows, starts): for each row a list of
@@ -325,12 +429,14 @@ class OPTRescorer:
         compute_dtype=jnp.float32,
         seed: int = 0,
         pack: bool = True,
+        encode_cont: Optional[Callable[[str, int], List[int]]] = None,
     ):
         self.cfg = cfg
         self.max_len = min(max_len, cfg.max_position_embeddings)
         self.pack = pack
         self.compute_dtype = compute_dtype
         self._packed: Dict[int, Callable] = {}
+        self._prefix: Dict[int, Callable] = {}
         if encode is None:
             import logging
 
@@ -344,7 +450,21 @@ class OPTRescorer:
             encode = (
                 lambda t, n: [b % cfg.vocab_size for b in t.encode("utf-8")][:n]
             )
+            if encode_cont is None:
+                # the stand-in is byte-wise with no BOS: continuation encode
+                # is the same map
+                encode_cont = encode
+        if encode_cont is None and hasattr(encode, "encode"):
+            # ByteBPE-style tokenizer: continuation = no BOS. GPT-2's
+            # pretokenizer splits at spaces (the space belongs to the next
+            # chunk), so encode(ctx) + encode(" "+hyp, no BOS) equals
+            # encode(ctx+" "+hyp) — tested in tests/test_bpe.py
+            encode_cont = lambda t, n: encode.encode(t, add_bos=False)[:n]  # noqa: E731
         self.encode = encode
+        self.encode_cont = encode_cont
+        # llm_rescore passes context separately to scorers advertising this
+        # (the prefix-KV path scores it once instead of per candidate)
+        self.supports_context = True
         self.params = params if params is not None else init_params(
             jax.random.PRNGKey(seed), cfg
         )
@@ -388,21 +508,14 @@ class OPTRescorer:
             self._packed[n_segments] = fn
         return fn
 
-    def _score_packed_begin(
-        self, ids: List[List[int]], length_penalty: float
-    ) -> Callable[[], List[float]]:
-        """Pack the hypotheses several-per-row (block-diagonal attention) so
-        the 6.7b forward runs over ~real-token counts instead of one padded
-        16-token row per ~10-token hypothesis. Score-identical to the
-        unpacked path (tests/test_opt_lm.py packed-parity). Dispatches the
-        forward and returns a zero-arg fetch — JAX dispatch is async, so the
-        host only blocks inside the fetch."""
+    def _pack_arrays(self, ids: List[List[int]]):
+        """First-fit-decreasing packing of token lists into padded arrays.
+        Row count is bucketed so varying n-best sizes (augment_nbest) don't
+        each compile a fresh 6.7b program through the remote compiler."""
         n = len(ids)
         longest = max((len(s) for s in ids), default=1)
         L = min(self.max_len, max(64, -(-longest // 16) * 16))
         rows = pack_sequences(ids, L)
-        # bucket the row count so varying n-best sizes (augment_nbest) don't
-        # each compile a fresh 6.7b program through the remote compiler
         row_pad = max(8, self._pad_to)
         B = -(-max(len(rows), 1) // row_pad) * row_pad
         n_segments = (-(-max(n, 1) // 32) * 32) + 1  # +1: index-0 trash bin
@@ -416,8 +529,62 @@ class OPTRescorer:
                 seg[r, off : off + len(s)] = orig_idx + 1
                 pos[r, off : off + len(s)] = np.arange(len(s))
                 off += len(s)
+        return tokens, seg, pos, n_segments
+
+    def _score_packed_begin(
+        self, ids: List[List[int]], length_penalty: float
+    ) -> Callable[[], List[float]]:
+        """Pack the hypotheses several-per-row (block-diagonal attention) so
+        the 6.7b forward runs over ~real-token counts instead of one padded
+        16-token row per ~10-token hypothesis. Score-identical to the
+        unpacked path (tests/test_opt_lm.py packed-parity). Dispatches the
+        forward and returns a zero-arg fetch — JAX dispatch is async, so the
+        host only blocks inside the fetch."""
+        n = len(ids)
+        tokens, seg, pos, n_segments = self._pack_arrays(ids)
         fn = self._packed_score_fn(n_segments)
         sums, cnt = fn(self.params, jnp.asarray(tokens), jnp.asarray(seg),
+                       jnp.asarray(pos))
+
+        def fetch() -> List[float]:
+            s = np.asarray(sums)[1 : n + 1]
+            c = np.asarray(cnt)[1 : n + 1]
+            return (s - c * length_penalty).tolist()
+
+        return fetch
+
+    def _prefix_score_fn(self, n_segments: int) -> Callable:
+        fn = self._prefix.get(n_segments)
+        if fn is None:
+            fn = jax.jit(
+                score_prefix_packed_fn(self.cfg, n_segments,
+                                       self.compute_dtype)
+            )
+            self._prefix[n_segments] = fn
+        return fn
+
+    def _score_prefix_begin(
+        self, context: str, texts: Sequence[str], length_penalty: float
+    ) -> Callable[[], List[float]]:
+        """Shared-context scoring: tokenize the context once (with BOS), the
+        hypotheses as continuations (leading space, no BOS — a GPT-2
+        pretoken boundary, so the ids equal the concatenated encode), run
+        the context forward once and cross-attend the packed hypotheses to
+        its cached K/V (score_prefix_packed_fn)."""
+        ctx_ids = self.encode(context, self.max_len)
+        if not ctx_ids:  # unreachable via llm_rescore (it checks .split())
+            ids = [self.encode(t, self.max_len) for t in texts]
+            return self._score_packed_begin(ids, length_penalty)
+        ids = [self.encode_cont(" " + t, self.max_len) for t in texts]
+        n = len(ids)
+        tokens, seg, pos, n_segments = self._pack_arrays(ids)
+        Cb = -(-len(ctx_ids) // 32) * 32  # bucket the context length too
+        ctx = np.zeros((1, Cb), np.int32)
+        ctx[0, : len(ctx_ids)] = ctx_ids
+        fn = self._prefix_score_fn(n_segments)
+        sums, cnt = fn(self.params, jnp.asarray(ctx),
+                       jnp.asarray(len(ctx_ids), jnp.int32),
+                       jnp.asarray(tokens), jnp.asarray(seg),
                        jnp.asarray(pos))
 
         def fetch() -> List[float]:
@@ -458,16 +625,35 @@ class OPTRescorer:
         return fetch
 
     def score_async(
-        self, texts: Sequence[str], length_penalty: float = 0.0
+        self,
+        texts: Sequence[str],
+        length_penalty: float = 0.0,
+        context: Optional[str] = None,
     ) -> Callable[[], List[float]]:
         """Dispatch the scoring forward NOW; the returned zero-arg callable
         fetches the scores. Lets a caller overlap the next utterance's host
         finalize work (augment, packing) under this utterance's device
-        forward — see decode/rescore.py llm_rescore_async."""
+        forward — see decode/rescore.py llm_rescore_async.
+
+        With ``context``, each text is scored as context+text (the
+        reference's conversational mode, standalone :165-199) — via the
+        prefix-KV path (context forward runs once) when available, else by
+        concatenation (identical totals either way)."""
+        if context:
+            if (self.pack and self.mesh is None
+                    and self.encode_cont is not None):
+                return self._score_prefix_begin(context, texts,
+                                                length_penalty)
+            texts = [context + " " + t for t in texts]
         ids = [self.encode(t, self.max_len) for t in texts]
         if self.pack:
             return self._score_packed_begin(ids, length_penalty)
         return self._score_unpacked_begin(ids, length_penalty)
 
-    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
-        return self.score_async(texts, length_penalty)()
+    def score(
+        self,
+        texts: Sequence[str],
+        length_penalty: float = 0.0,
+        context: Optional[str] = None,
+    ) -> List[float]:
+        return self.score_async(texts, length_penalty, context=context)()

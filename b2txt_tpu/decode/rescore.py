@@ -253,6 +253,13 @@ class RescoreOutput:
     confidence: Optional[float] = None
 
 
+def _clean_text(t: str) -> str:
+    return (
+        t.replace(">", "").replace("  ", " ").replace(" ,", ",")
+        .replace(" .", ".").replace(" ?", "?")
+    )
+
+
 def _prep_hyps(nbest: NBest, context: Optional[str]):
     """Drop empty candidates, prepend context, clean text (gpt2_lm_decode
     :165-199). Returns (hyps to score, kept rows, ac scores, ngram scores)."""
@@ -266,20 +273,36 @@ def _prep_hyps(nbest: NBest, context: Optional[str]):
             continue
         if context and context.split():
             hyp = context + " " + hyp
-        hyp = (
-            hyp.replace(">", "").replace("  ", " ").replace(" ,", ",")
-            .replace(" .", ".").replace(" ?", "?")
-        )
-        hyps.append(hyp)
+        hyps.append(_clean_text(hyp))
         ac.append(a)
         ngram.append(l)
         kept.append((s, a, l))
     return hyps, kept, ac, ngram
 
 
+def _split_context(scorer: LLMScorer, context: Optional[str]):
+    """Scorers advertising ``supports_context`` (the JAX OPT rescorer's
+    prefix-KV path) take the shared context separately and run its forward
+    ONCE instead of once per candidate. Cleaning context and hypothesis
+    separately equals cleaning the concatenation: the joiner is a single
+    space and decoder hypotheses start with word characters, so no replace
+    pattern spans the boundary."""
+    if (context and context.split()
+            and getattr(scorer, "supports_context", False)):
+        return _clean_text(context), None
+    return None, context
+
+
+def _call_score(scorer: LLMScorer, hyps: List[str], length_penalty: float,
+                ctx: Optional[str]) -> List[float]:
+    if ctx is not None:
+        return scorer.score(hyps, length_penalty, context=ctx)
+    return scorer.score(hyps, length_penalty)
+
+
 def _fallback_scores(
     scorer: LLMScorer, hyps: List[str], length_penalty: float,
-    batch_fallback: int, err: Exception,
+    batch_fallback: int, err: Exception, ctx: Optional[str] = None,
 ) -> np.ndarray:
     """Batched retry then zeros (reference :214-226)."""
     logging.error(f"Error during LLM rescore: {err}")
@@ -287,7 +310,8 @@ def _fallback_scores(
         llm_scores: List[float] = []
         step = int(np.ceil(len(hyps) / batch_fallback))
         for i in range(0, len(hyps), step):
-            llm_scores.extend(scorer.score(hyps[i : i + step], length_penalty))
+            llm_scores.extend(
+                _call_score(scorer, hyps[i : i + step], length_penalty, ctx))
         arr = np.asarray(llm_scores)
         if not np.all(np.isfinite(arr)):
             raise FloatingPointError("non-finite LLM scores")
@@ -333,19 +357,20 @@ def llm_rescore(
 ) -> RescoreOutput:
     """α-blend LLM rescoring of an n-best list (gpt2_lm_decode parity,
     :165-251): total = acoustic_scale·ac + (1−α)·ngram + α·llm."""
-    hyps, kept, ac, ngram = _prep_hyps(nbest, context)
+    ctx, prepend = _split_context(scorer, context)
+    hyps, kept, ac, ngram = _prep_hyps(nbest, prepend)
     if not hyps:
         return RescoreOutput(best="", nbest=[], confidence=0.0)
 
     try:
-        llm_scores = np.asarray(scorer.score(hyps, length_penalty))
+        llm_scores = np.asarray(_call_score(scorer, hyps, length_penalty, ctx))
         if not np.all(np.isfinite(llm_scores)):
             # a NaN/inf would silently poison every blended total downstream
             # of argmax; treat like a scorer failure (reference :214-226)
             raise FloatingPointError("non-finite LLM scores")
     except Exception as e:
         llm_scores = _fallback_scores(scorer, hyps, length_penalty,
-                                      batch_fallback, e)
+                                      batch_fallback, e, ctx)
     return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
 
 
@@ -369,7 +394,8 @@ def llm_rescore_async(
     synchronous :func:`llm_rescore` path. Identical outputs and failure
     semantics (finite-guard, batched retry, zeros) either way.
     """
-    hyps, kept, ac, ngram = _prep_hyps(nbest, context)
+    ctx, prepend = _split_context(scorer, context)
+    hyps, kept, ac, ngram = _prep_hyps(nbest, prepend)
     if not hyps:
         return lambda: RescoreOutput(best="", nbest=[], confidence=0.0)
 
@@ -377,7 +403,10 @@ def llm_rescore_async(
     fetch = None
     if begin is not None:
         try:
-            fetch = begin(hyps, length_penalty)
+            if ctx is not None:
+                fetch = begin(hyps, length_penalty, context=ctx)
+            else:
+                fetch = begin(hyps, length_penalty)
         except Exception as e:  # dispatch failure → sync fallback in finish
             logging.error(f"Error dispatching LLM rescore: {e}")
             fetch = None
@@ -385,14 +414,15 @@ def llm_rescore_async(
     def finish() -> RescoreOutput:
         try:
             if fetch is None:  # no async support (or dispatch failed)
-                llm_scores = np.asarray(scorer.score(hyps, length_penalty))
+                llm_scores = np.asarray(
+                    _call_score(scorer, hyps, length_penalty, ctx))
             else:
                 llm_scores = np.asarray(fetch())
             if not np.all(np.isfinite(llm_scores)):
                 raise FloatingPointError("non-finite LLM scores")
         except Exception as e:
             llm_scores = _fallback_scores(scorer, hyps, length_penalty,
-                                          batch_fallback, e)
+                                          batch_fallback, e, ctx)
         return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
 
     return finish

@@ -86,3 +86,22 @@ def test_unicode_roundtrip(tmp_path):
     proxy = "".join(b2u[b] for b in raw)
     back = bytes(dict((c, b) for b, c in b2u.items())[c] for c in proxy)
     assert back == raw
+
+
+def test_split_at_space_equals_joint_encode(tmp_path):
+    """Context/continuation split at a space boundary tokenizes identically
+    to the joint string — the property the OPT prefix-KV rescoring path
+    relies on (GPT-2's pretokenizer attaches the space to the FOLLOWING
+    chunk, and merges never cross pretoken boundaries)."""
+    vocab_path, merges_path, _ = _fixture_files(str(tmp_path))
+    bpe = ByteBPE.from_files(vocab_path, merges_path, bos_id=2)
+    rng = np.random.default_rng(1)
+    words = ["hello", "world", "cat", "hell", "held", "chat", "!", "a", "tll"]
+    for _ in range(25):
+        n = int(rng.integers(2, 7))
+        ws = list(rng.choice(words, size=n))
+        cut = int(rng.integers(1, n))
+        ctx, cont = " ".join(ws[:cut]), " ".join(ws[cut:])
+        joint = bpe.encode(ctx + " " + cont)
+        split = bpe.encode(ctx) + bpe.encode(" " + cont, add_bos=False)
+        assert joint == split, (ctx, cont)

@@ -235,6 +235,36 @@ def test_score_async_matches_score(tiny_pair):
         np.testing.assert_allclose(fetches[1](), r.score(texts[:2]), rtol=1e-5)
 
 
+def test_context_prefix_matches_concatenated(tiny_pair):
+    """Shared-context scoring through the prefix-KV path (context forward
+    runs once, hypotheses cross-attend its cached K/V) must equal scoring
+    context+hypothesis concatenated per candidate — the reference's
+    conversational mode (standalone :165-199) done once instead of N times."""
+    cfg, _, params = tiny_pair
+    enc = lambda t, n: [(3 + 17 * b) % cfg.vocab_size  # noqa: E731
+                        for b in t.encode()][:n]
+    texts = ["alpha beta", "g", "a mid sized candidate", "tail words here"]
+    ctx = "the shared conversation so far"
+    prefix = opt_lm.OPTRescorer(cfg, params=params, encode=enc,
+                                encode_cont=enc, max_len=64, pack=True)
+    flat = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=64,
+                              pack=False)
+    for pen in (0.0, 0.4):
+        got = prefix.score(texts, length_penalty=pen, context=ctx)
+        want = flat.score([ctx + " " + t for t in texts], length_penalty=pen)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    assert prefix._prefix  # the prefix-KV path actually ran
+    # without encode_cont the rescorer falls back to concatenation —
+    # identical totals through the packed path
+    fb = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=64,
+                            pack=True)
+    fb.encode_cont = None
+    np.testing.assert_allclose(
+        fb.score(texts, context=ctx),
+        flat.score([ctx + " " + t for t in texts]), rtol=1e-4, atol=1e-3)
+    assert not fb._prefix
+
+
 def test_packed_scoring_on_mesh(tiny_pair):
     """Packed scoring under the ("data","model") mesh shardings equals the
     host path (segment sums cross the data axis via XLA's psum)."""

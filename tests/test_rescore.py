@@ -188,6 +188,40 @@ def test_llm_rescore_async_fetch_failure_falls_back():
     assert out.nbest[0][3] == 0.5
 
 
+def test_llm_rescore_context_split_for_supporting_scorers():
+    """A scorer advertising supports_context gets bare hypotheses plus the
+    context as a separate argument (the prefix-KV path), and the result
+    equals a plain scorer fed the concatenated strings — for any scoring
+    function of the concatenation."""
+    seen = {}
+
+    class CtxScorer:
+        supports_context = True
+
+        def score(self, texts, length_penalty=0.0, context=None):
+            seen["texts"] = list(texts)
+            seen["context"] = context
+            full = [(context + " " + t) if context else t for t in texts]
+            return [-float(len(f)) + length_penalty for f in full]
+
+    class PlainScorer:
+        def score(self, texts, length_penalty=0.0):
+            return [-float(len(t)) + length_penalty for t in texts]
+
+    nbest = [("a b", -1.0, -2.0), ("c longer hyp", -1.5, -1.0)]
+    ctx = "shared context"
+    out = llm_rescore(CtxScorer(), nbest, 0.3, 0.5, length_penalty=0.2,
+                      context=ctx)
+    want = llm_rescore(PlainScorer(), nbest, 0.3, 0.5, length_penalty=0.2,
+                       context=ctx)
+    assert seen["context"] == ctx and seen["texts"] == ["a b", "c longer hyp"]
+    assert out == want
+    # async entry point: same split, same result
+    out2 = llm_rescore_async(CtxScorer(), nbest, 0.3, 0.5,
+                             length_penalty=0.2, context=ctx)()
+    assert out2 == want
+
+
 def test_llm_rescore_empty():
     lm = train_ngram(CORPUS, order=2)
     out = llm_rescore(NGramLLMAdapter(lm), [("", -1.0, -1.0)], 0.3, 0.5)
