@@ -116,6 +116,41 @@ def test_llm_rescore_path(lexicon, lm):
     assert any(row[3] != 0.0 for row in out.nbest)  # llm scores populated
 
 
+def test_contextual_opt_finalize_prefix_path(lexicon, lm):
+    """The service's conversational context reaches the OPT rescorer as a
+    separate prefix (the KV-cached path runs the context once) and the
+    finalize output matches concatenated context+hypothesis scoring."""
+    import jax
+    from b2txt_tpu.decode import opt_lm
+
+    ocfg = opt_lm.OPTConfig.tiny()
+    enc = lambda t, n: [(3 + 17 * b) % ocfg.vocab_size  # noqa: E731
+                        for b in t.encode()][:n]
+    params = opt_lm.init_params(jax.random.PRNGKey(0), ocfg)
+
+    def run(scorer):
+        svc = DecoderService(
+            lexicon, lm,
+            DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=10,
+                         do_opt=True, alpha=0.5),
+            llm=scorer, channel_order="model",
+        )
+        svc.set_context("we were talking about pets")
+        ids = lexicon.sentence_to_phonemes("the cat sat")
+        return svc.decode_utterance(clean_logits(ids))
+
+    prefix = opt_lm.OPTRescorer(ocfg, params=params, encode=enc,
+                                encode_cont=enc, max_len=64)
+    concat = opt_lm.OPTRescorer(ocfg, params=params, encode=enc, max_len=64)
+    concat.supports_context = False  # force the concatenated path
+    out_p, out_c = run(prefix), run(concat)
+    assert prefix._prefix and not concat._prefix  # prefix path actually ran
+    assert out_p.sentence == out_c.sentence == "the cat sat"
+    np.testing.assert_allclose([r[4] for r in out_p.nbest],
+                               [r[4] for r in out_c.nbest],
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_ngram_rescore_path(lexicon, lm):
     big = train_ngram(CORPUS + ["the cat sat on the mat".split()] * 10, order=3)
     svc = DecoderService(
