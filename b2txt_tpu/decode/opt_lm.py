@@ -556,10 +556,20 @@ class OPTRescorer:
     def _prefix_score_fn(self, n_segments: int) -> Callable:
         fn = self._prefix.get(n_segments)
         if fn is None:
-            fn = jax.jit(
-                score_prefix_packed_fn(self.cfg, n_segments,
-                                       self.compute_dtype)
-            )
+            score = score_prefix_packed_fn(self.cfg, n_segments,
+                                           self.compute_dtype)
+            if self.mesh is not None:
+                data = NamedSharding(self.mesh, P("data", None))
+                repl = NamedSharding(self.mesh, P())
+                repl2 = NamedSharding(self.mesh, P(None, None))
+                fn = jax.jit(
+                    score,
+                    in_shardings=(self._param_shard, repl2, repl,
+                                  data, data, data),
+                    out_shardings=(repl, repl),
+                )
+            else:
+                fn = jax.jit(score)
             self._prefix[n_segments] = fn
         return fn
 
@@ -640,8 +650,7 @@ class OPTRescorer:
         prefix-KV path (context forward runs once) when available, else by
         concatenation (identical totals either way)."""
         if context:
-            if (self.pack and self.mesh is None
-                    and self.encode_cont is not None):
+            if self.pack and self.encode_cont is not None:
                 return self._score_prefix_begin(context, texts,
                                                 length_penalty)
             texts = [context + " " + t for t in texts]

@@ -276,9 +276,16 @@ def test_packed_scoring_on_mesh(tiny_pair):
     enc = lambda t, n: [(5 + 13 * b) % cfg.vocab_size  # noqa: E731
                         for b in t.encode()][:n]
     host = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
-                              pack=True)
+                              pack=True, encode_cont=enc)
     sharded = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
-                                 pack=True, mesh=mesh)
+                                 pack=True, mesh=mesh, encode_cont=enc)
     np.testing.assert_allclose(
         sharded.score(texts), host.score(texts), rtol=1e-4, atol=1e-3
     )
+    # the context-prefix path shards too (ctx/kv replicate, rows data-shard)
+    ctx = "the shared conversation"
+    np.testing.assert_allclose(
+        sharded.score(texts, context=ctx), host.score(texts, context=ctx),
+        rtol=1e-4, atol=1e-3
+    )
+    assert sharded._prefix and host._prefix
