@@ -182,7 +182,12 @@ class JaxCausalLMRescorer:
             self._score = jax.jit(score_fn)
             self._pad_to = 1
 
-    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+    def score_async(
+        self, texts: Sequence[str], length_penalty: float = 0.0
+    ) -> Callable[[], List[float]]:
+        """Dispatch the forward now; the returned thunk fetches — the service
+        pipelines finalize through this (decode/rescore.py
+        llm_rescore_async)."""
         n = len(texts)
         ids = [self.encode(t, self.max_len) for t in texts]
         L = max(32, max(len(i) for i in ids))
@@ -193,7 +198,15 @@ class JaxCausalLMRescorer:
         for i, seq in enumerate(ids):
             tokens[i, : len(seq)] = seq[:L]
             mask[i, : len(seq)] = 1.0
-        sums, n_tokens = self._score(self.params, jnp.asarray(tokens), jnp.asarray(mask))
-        sums = np.asarray(sums)[:n]
-        n_tokens = np.asarray(n_tokens)[:n]
-        return (sums - n_tokens * length_penalty).tolist()
+        sums, n_tokens = self._score(self.params, jnp.asarray(tokens),
+                                     jnp.asarray(mask))
+
+        def fetch() -> List[float]:
+            s = np.asarray(sums)[:n]
+            t = np.asarray(n_tokens)[:n]
+            return (s - t * length_penalty).tolist()
+
+        return fetch
+
+    def score(self, texts: Sequence[str], length_penalty: float = 0.0) -> List[float]:
+        return self.score_async(texts, length_penalty)()
