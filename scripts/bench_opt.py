@@ -101,6 +101,9 @@ def main():
     p.add_argument("--utts", type=int, default=64)
     p.add_argument("--device_batch", type=int, default=64)
     p.add_argument("--nbest", type=int, default=100)
+    p.add_argument("--context_words", type=int, default=0,
+                   help="stage D: conversational-context rescore bench — "
+                        "prefix-KV vs concatenated at this context length")
     args = p.parse_args()
 
     from b2txt_tpu.decode.opt_lm import OPTConfig, OPTRescorer, init_params
@@ -163,6 +166,42 @@ def main():
         "opt_rescore_sentences_per_s": round(1.0 / dt, 2),
         "compile_s": round(b_compile, 1),
     }), flush=True)
+
+    if args.context_words:
+        # ---- stage D: conversational-context rescoring (gpt2_lm_decode's
+        # context mode, standalone :165-199) — the prefix-KV path runs the
+        # context forward once vs re-running it inside every candidate
+        ctx = " ".join(wordpool[i]
+                       for i in rng.integers(0, 3000, args.context_words))
+        enc_cont = lambda t, n: enc(t, n + 1)[1:]  # noqa: E731 — drop BOS
+        presc = OPTRescorer(cfg, params=params, encode=enc,
+                            encode_cont=enc_cont,
+                            compute_dtype=jnp.bfloat16, max_len=512)
+        cresc = OPTRescorer(cfg, params=params, encode=enc,
+                            compute_dtype=jnp.bfloat16, max_len=512)
+        t0 = time.perf_counter()
+        presc.score(nbests[0], context=ctx)
+        d_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for cands in nbests:
+            presc.score(cands, context=ctx)
+        dt_prefix = (time.perf_counter() - t0) / len(nbests)
+        t0 = time.perf_counter()
+        cresc.score([ctx + " " + c for c in nbests[0]])
+        d_compile2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for cands in nbests:
+            cresc.score([ctx + " " + c for c in cands])
+        dt_concat = (time.perf_counter() - t0) / len(nbests)
+        print(json.dumps({
+            "stage": "D_context_rescore",
+            "context_words": args.context_words,
+            "nbest": args.nbest,
+            "s_per_sentence_prefix_kv": round(dt_prefix, 3),
+            "s_per_sentence_concatenated": round(dt_concat, 3),
+            "speedup": round(dt_concat / dt_prefix, 2),
+            "compile_s": [round(d_compile, 1), round(d_compile2, 1)],
+        }), flush=True)
 
     if not args.full:
         return
