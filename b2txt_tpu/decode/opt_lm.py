@@ -390,8 +390,8 @@ def score_prefix_packed_fn(
 
 def pack_sequences(ids: Sequence[Sequence[int]], capacity: int):
     """First-fit-decreasing bin packing of token id lists into rows of
-    ``capacity`` tokens. Returns (rows, starts): for each row a list of
-    (original_index, seq) and the matching per-row start offsets."""
+    ``capacity`` tokens. Returns rows: for each row a list of
+    (original_index, seq) pairs."""
     order = sorted(range(len(ids)), key=lambda i: -len(ids[i]))
     rows: List[List[tuple]] = []
     space: List[int] = []
@@ -586,6 +586,15 @@ class OPTRescorer:
             ids = [self.encode(t, self.max_len) for t in texts]
             return self._score_packed_begin(ids, length_penalty)
         ids = [self.encode_cont(" " + t, self.max_len) for t in texts]
+        longest = max((len(s) for s in ids), default=1)
+        limit = min(self.max_len, self.cfg.max_position_embeddings)
+        if len(ctx_ids) + longest > limit:
+            # the concatenated path truncates ctx+hyp at max_len; score the
+            # same truncations so the exact-parity contract holds (and
+            # positions never clip past max_position_embeddings)
+            ids = [self.encode(context + " " + t, self.max_len)
+                   for t in texts]
+            return self._score_packed_begin(ids, length_penalty)
         n = len(ids)
         tokens, seg, pos, n_segments = self._pack_arrays(ids)
         Cb = -(-len(ctx_ids) // 32) * 32  # bucket the context length too

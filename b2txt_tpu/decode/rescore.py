@@ -356,22 +356,13 @@ def llm_rescore(
     batch_fallback: int = 5,
 ) -> RescoreOutput:
     """α-blend LLM rescoring of an n-best list (gpt2_lm_decode parity,
-    :165-251): total = acoustic_scale·ac + (1−α)·ngram + α·llm."""
-    ctx, prepend = _split_context(scorer, context)
-    hyps, kept, ac, ngram = _prep_hyps(nbest, prepend)
-    if not hyps:
-        return RescoreOutput(best="", nbest=[], confidence=0.0)
+    :165-251): total = acoustic_scale·ac + (1−α)·ngram + α·llm.
 
-    try:
-        llm_scores = np.asarray(_call_score(scorer, hyps, length_penalty, ctx))
-        if not np.all(np.isfinite(llm_scores)):
-            # a NaN/inf would silently poison every blended total downstream
-            # of argmax; treat like a scorer failure (reference :214-226)
-            raise FloatingPointError("non-finite LLM scores")
-    except Exception as e:
-        llm_scores = _fallback_scores(scorer, hyps, length_penalty,
-                                      batch_fallback, e, ctx)
-    return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
+    Exactly :func:`llm_rescore_async` fetched immediately (one code path
+    for the failure semantics — finite guard, batched retry, zeros)."""
+    return llm_rescore_async(scorer, nbest, acoustic_scale, alpha,
+                             length_penalty=length_penalty, context=context,
+                             batch_fallback=batch_fallback)()
 
 
 def llm_rescore_async(

@@ -265,7 +265,6 @@ class DecoderService:
             LOG.info(f"Augmented nbest from {before} to {len(nbest)} candidates.")
 
         if cfg.do_opt and self.llm is not None and nbest:
-            t = time.time()
             finish = llm_rescore_async(
                 self.llm, nbest, cfg.acoustic_scale, cfg.alpha,
                 length_penalty=cfg.length_penalty, context=self.context or None,
@@ -273,6 +272,12 @@ class DecoderService:
             context = self.context
 
             def done() -> FinalOutput:
+                # timed from fetch start, not dispatch: under the pipelined
+                # path the window between begin and done holds OTHER
+                # utterances' host work; in the serial path the forward
+                # completes inside the fetch, so this still measures the
+                # LLM stage
+                t = time.time()
                 out: RescoreOutput = finish()
                 self.stats["llm_time"] = time.time() - t
                 LOG.info("LLM rescore time: %.3f" % self.stats["llm_time"])

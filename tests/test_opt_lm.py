@@ -254,6 +254,17 @@ def test_context_prefix_matches_concatenated(tiny_pair):
         want = flat.score([ctx + " " + t for t in texts], length_penalty=pen)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
     assert prefix._prefix  # the prefix-KV path actually ran
+    # context+hypothesis overflowing max_len: the prefix path must score
+    # the SAME truncations as the concatenated path (falls back internally)
+    small = opt_lm.OPTRescorer(cfg, params=params, encode=enc,
+                               encode_cont=enc, max_len=16, pack=True)
+    small_flat = opt_lm.OPTRescorer(cfg, params=params, encode=enc,
+                                    max_len=16, pack=False)
+    np.testing.assert_allclose(
+        small.score(texts, context=ctx),
+        small_flat.score([ctx + " " + t for t in texts]),
+        rtol=1e-4, atol=1e-3)
+    assert not small._prefix  # overflow → concatenated, not prefix-KV
     # without encode_cont the rescorer falls back to concatenation —
     # identical totals through the packed path
     fb = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=64,
@@ -275,9 +286,9 @@ def test_packed_scoring_on_mesh(tiny_pair):
              "mid sized one", "another medium candidate"]
     enc = lambda t, n: [(5 + 13 * b) % cfg.vocab_size  # noqa: E731
                         for b in t.encode()][:n]
-    host = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+    host = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=64,
                               pack=True, encode_cont=enc)
-    sharded = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=48,
+    sharded = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=64,
                                  pack=True, mesh=mesh, encode_cont=enc)
     np.testing.assert_allclose(
         sharded.score(texts), host.score(texts), rtol=1e-4, atol=1e-3
