@@ -219,6 +219,44 @@ def aggregate_wer(sents, results):
     return agg, lo, hi
 
 
+def _guard_tpu_reachable(args, attempts: int = 6, probe_timeout: int = 120,
+                         wait: int = 120) -> None:
+    """The axon data plane wedges for tens of minutes at a time (observed:
+    even jax.devices() hanging for 3+ hours). An unattended bench run must
+    not hang forever: probe the device in a SUBPROCESS (bounded by timeout,
+    no in-process backend init until a probe succeeds), retry ~25 min, then
+    print the one honest JSON line and exit rather than recording nothing."""
+    import subprocess
+    import sys
+
+    if getattr(jax.config, "jax_platforms", None) == "cpu":
+        return  # forced-CPU runs (tests) never touch the tunnel
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.ones((8, 8)).sum()))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"device probe {i + 1}/{attempts} failed; retrying",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(wait)
+    print(json.dumps({
+        "metric": "pipeline_sentences_per_sec",
+        "value": 0.0,
+        "unit": "sentences/s",
+        "vs_baseline": 0.0,
+        "error": f"TPU unreachable: {attempts} device probes over "
+                 f"~{(attempts * (probe_timeout + wait)) // 60} min all hung "
+                 "(axon tunnel outage); no measurement possible",
+    }), flush=True)
+    raise SystemExit(0)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--order", type=int, default=3, choices=[2, 3, 4, 5])
@@ -255,6 +293,8 @@ def main() -> None:
     max_h = args.max_homophones or (6 if args.adversarial else 4)
     if args.close_top is None and args.adversarial:
         args.close_top = 2
+
+    _guard_tpu_reachable(args)
 
     from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
     from b2txt_tpu.runtime import NativeLexiconBeamSearch
