@@ -116,6 +116,53 @@ def test_llm_rescore_path(lexicon, lm):
     assert any(row[3] != 0.0 for row in out.nbest)  # llm scores populated
 
 
+def test_finalize_pipelined_order_and_window(lexicon, lm):
+    """_finalize_pipelined keeps utterance order across the bounded dispatch
+    window (90 utterances > the 64-deep window forces mid-stream draining),
+    dispatches every forward before its fetch, and matches the serial path."""
+    from b2txt_tpu.decode.lmbeam import DecodeResult
+
+    events = []
+
+    class AsyncScorer:
+        def score(self, texts, length_penalty=0.0, _tag=None):
+            return [-float(len(t)) for t in texts]
+
+        def score_async(self, texts, length_penalty=0.0):
+            tag = texts[0]
+            events.append(("begin", tag))
+
+            def fetch():
+                events.append(("fetch", tag))
+                return [-float(len(t)) for t in texts]
+
+            return fetch
+
+    svc = DecoderService(
+        lexicon, lm,
+        DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=5,
+                     do_opt=True, alpha=0.5),
+        llm=AsyncScorer(), channel_order="model",
+    )
+    batched = []
+    for b in range(3):
+        lists = [[DecodeResult(f"utt{b * 30 + i}", -1.0 - i, -2.0)]
+                 for i in range(30)]
+        batched.append((30, lists))
+    outs = svc._finalize_pipelined(iter(batched))
+    assert [o.sentence for o in outs] == [f"utt{i}" for i in range(90)]
+    # every dispatch precedes its own fetch, and >1 forward was in flight
+    # (the window actually pipelined: some begin happens before an earlier
+    # utterance's fetch)
+    begin_pos = {t: i for i, (e, t) in enumerate(events) if e == "begin"}
+    fetch_pos = {t: i for i, (e, t) in enumerate(events) if e == "fetch"}
+    assert all(begin_pos[t] < fetch_pos[t] for t in begin_pos)
+    assert begin_pos["utt1"] < fetch_pos["utt0"]
+    # the window drained mid-stream: utt0's fetch happened before the last
+    # utterance was even dispatched
+    assert fetch_pos["utt0"] < begin_pos["utt89"]
+
+
 def test_contextual_opt_finalize_prefix_path(lexicon, lm):
     """The service's conversational context reaches the OPT rescorer as a
     separate prefix (the KV-cached path runs the context once) and the
