@@ -219,6 +219,10 @@ def aggregate_wer(sents, results):
     return agg, lo, hi
 
 
+def _forced_cpu() -> bool:
+    return getattr(jax.config, "jax_platforms", None) == "cpu"
+
+
 def _guard_tpu_reachable(args, attempts: int = 6, probe_timeout: int = 120,
                          wait: int = 120) -> None:
     """The axon data plane wedges for tens of minutes at a time (observed:
@@ -229,7 +233,7 @@ def _guard_tpu_reachable(args, attempts: int = 6, probe_timeout: int = 120,
     import subprocess
     import sys
 
-    if getattr(jax.config, "jax_platforms", None) == "cpu":
+    if _forced_cpu():
         return  # forced-CPU runs (tests) never touch the tunnel
     code = ("import jax, jax.numpy as jnp; "
             "print(float(jnp.ones((8, 8)).sum()))")

@@ -55,3 +55,35 @@ def test_bench_main_tiny_adversarial(tmp_path):
     assert "lexicon_stats" in e
     # quality keys still present on the homophone-dense world
     assert "device_wer" in e and "native_wer" in e
+
+
+def test_bench_guard_emits_error_json_on_outage(monkeypatch, capsys):
+    """When every device probe hangs (the axon tunnel outage mode), the
+    guard prints ONE honest JSON line with the headline metric name and
+    exits 0 — an unattended bench run must never hang forever."""
+    import bench
+    import subprocess as sp
+
+    def fake_run(*a, **kw):
+        raise sp.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(bench, "_forced_cpu", lambda: False)
+    monkeypatch.setattr(sp, "run", fake_run)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as exc:
+        bench._guard_tpu_reachable(None, attempts=2, probe_timeout=1, wait=0)
+    assert exc.value.code == 0
+    out = capsys.readouterr().out
+    json_lines = [l for l in out.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "pipeline_sentences_per_sec"
+    assert d["value"] == 0.0 and "error" in d
+
+
+def test_bench_guard_noop_on_cpu(monkeypatch):
+    """Forced-CPU runs (tests, the virtual mesh) never touch the tunnel."""
+    import bench
+
+    monkeypatch.setattr(bench, "_forced_cpu", lambda: True)
+    bench._guard_tpu_reachable(None)  # returns without probing or printing
