@@ -265,6 +265,16 @@ def test_context_prefix_matches_concatenated(tiny_pair):
         small_flat.score([ctx + " " + t for t in texts]),
         rtol=1e-4, atol=1e-3)
     assert not small._prefix  # overflow → concatenated, not prefix-KV
+    # bf16 (the 6.7b serving dtype): prefix rows are padding-heavy, so the
+    # finite-min mask fill matters here too — scores must stay finite and
+    # near the f32 path
+    pb = opt_lm.OPTRescorer(cfg, params=params, encode=enc, encode_cont=enc,
+                            max_len=64, pack=True,
+                            compute_dtype=jnp.bfloat16)
+    gb = pb.score(texts, context=ctx)
+    assert pb._prefix and np.all(np.isfinite(gb))
+    np.testing.assert_allclose(
+        gb, prefix.score(texts, context=ctx), rtol=2e-2, atol=0.5)
     # without encode_cont the rescorer falls back to concatenation —
     # identical totals through the packed path
     fb = opt_lm.OPTRescorer(cfg, params=params, encode=enc, max_len=64,
