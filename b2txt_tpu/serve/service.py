@@ -319,7 +319,21 @@ class DecoderService:
         batch-invariant in throughput); other backends decode serially."""
         searcher = self.searcher
         if self.searcher_backend != "device" or not hasattr(searcher, "decode_batch"):
-            return [self.decode_utterance(l) for l in logits_list]
+            # serial host decode, but finalize pipelined: the LLM forward of
+            # utterance i overlaps the beam search of utterance i+1 — the
+            # reference's two-GPU layout (RNN/decode ∥ OPT) on one chip +
+            # one core
+            window = 64
+            pending, outs = [], []
+            for logits in logits_list:
+                self.reset()
+                self.decode_chunk(logits)
+                pending.append(
+                    self._finalize_begin(self.searcher.finish_decoding()))
+                if len(pending) > window:
+                    outs.append(pending.pop(0)())
+            outs.extend(p() for p in pending)
+            return outs
 
         prepped = []
         for logits in logits_list:

@@ -163,6 +163,49 @@ def test_finalize_pipelined_order_and_window(lexicon, lm):
     assert fetch_pos["utt0"] < begin_pos["utt89"]
 
 
+def test_decode_utterances_python_backend_pipelines_llm(lexicon, lm):
+    """The serial (python/native) decode_utterances path overlaps utterance
+    i's LLM forward with utterance i+1's beam search, with outputs identical
+    to per-utterance decode_utterance."""
+    events = []
+
+    class AsyncScorer:
+        def score(self, texts, length_penalty=0.0):
+            return [-float(len(t)) for t in texts]
+
+        def score_async(self, texts, length_penalty=0.0):
+            events.append(("begin", texts[0]))
+
+            def fetch():
+                events.append(("fetch", texts[0]))
+                return [-float(len(t)) for t in texts]
+
+            return fetch
+
+    def build():
+        return DecoderService(
+            lexicon, lm,
+            DecodeConfig(acoustic_scale=0.5, blank_penalty=1.0, nbest=5,
+                         do_opt=True, alpha=0.5),
+            llm=AsyncScorer(), channel_order="model",
+        )
+
+    sents = ["the cat", "the mat", "the cat sat", "the mat on the cat"]
+    logits = [clean_logits(lexicon.sentence_to_phonemes(s)) for s in sents]
+    outs = build().decode_utterances(logits)
+    assert [o.sentence for o in outs] == sents
+    # pipelined: utterance 1's forward was dispatched before utterance 0's
+    # fetch (all dispatches precede all fetches below the 64-deep window)
+    kinds = [e for e, _ in events]
+    assert kinds == ["begin"] * 4 + ["fetch"] * 4
+    # identical to the serial per-utterance path
+    svc = build()
+    serial = [svc.decode_utterance(l) for l in logits]
+    assert [o.sentence for o in serial] == sents
+    for a, b in zip(outs, serial):
+        assert a.nbest == b.nbest and a.confidence == b.confidence
+
+
 def test_contextual_opt_finalize_prefix_path(lexicon, lm):
     """The service's conversational context reaches the OPT rescorer as a
     separate prefix (the KV-cached path runs the context once) and the
