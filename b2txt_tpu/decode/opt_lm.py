@@ -388,6 +388,24 @@ def score_prefix_packed_fn(
     return score
 
 
+def word_hash_encode(vocab_size: int) -> Callable[[str, int], List[int]]:
+    """Stable ~1-token-per-word encoder for throughput drives with random
+    weights: matches GPT2-BPE's token COUNT on short hypotheses (~1.3
+    tokens/word) without needing the (undownloadable) vocab files. Real
+    deployments pass utils.bpe.ByteBPE.for_opt(...) instead."""
+    import zlib
+
+    def enc(text: str, max_len: int) -> List[int]:
+        ids = [2]  # OPT BOS
+        for w in text.split():
+            # crc32, not hash(): builtin str hash is salted per process and
+            # would make a drive's scores/exact counts non-reproducible
+            ids.append((zlib.crc32(w.encode()) % (vocab_size - 10)) + 10)
+        return ids[:max_len]
+
+    return enc
+
+
 def pack_sequences(ids: Sequence[Sequence[int]], capacity: int):
     """First-fit-decreasing bin packing of token id lists into rows of
     ``capacity`` tokens. Returns rows: for each row a list of

@@ -150,12 +150,16 @@ class DecoderService:
         searcher_backend: str = "python",
         arpa_path: Optional[str] = None,
         lexicon_path: Optional[str] = None,
+        searcher: Optional[Any] = None,
     ):
         if channel_order not in ("lm", "model"):
             raise ValueError(f"channel_order must be 'lm' or 'model', got {channel_order!r}")
         self.config = config or DecodeConfig()
         self.searcher_backend = searcher_backend
-        self.searcher = _make_searcher(
+        # an already-built searcher (e.g. a DeviceLexiconBeamSearch with its
+        # HBM tables packed and scan compiled) can be injected to avoid
+        # rebuilding multi-GB state; it must match ``searcher_backend``
+        self.searcher = searcher if searcher is not None else _make_searcher(
             searcher_backend, lexicon, lm, self.config, arpa_path, lexicon_path
         )
         self.rescore_lm = rescore_lm

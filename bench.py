@@ -108,12 +108,17 @@ def make_stage1(B: int, T: int):
 
 
 def build_world(vocab_size: int, order: int = 3, seed: int = 0,
-                prune_threshold: float = 3e-8, adversarial: bool = False):
+                prune_threshold: float = 3e-8, adversarial: bool = False,
+                real_lexicon: bool = False):
     """Synthetic decode world at reference scale: vocab_size-word lexicon
     with full LM coverage, natively-trained unpruned n-gram +
     weighted-difference-pruned decode LM (the reference's G / G_no_prune
     pair). ``adversarial`` uses CMUdict homophone/collision statistics
-    (data/adversarial.py) instead of the unique-pronunciation vocabulary."""
+    (data/adversarial.py) instead of the unique-pronunciation vocabulary;
+    ``real_lexicon`` uses the ACTUAL production CMUdict
+    (/root/reference/language_model/examples/speech/s0/dict.txt, stress-strip
+    + first-pron dedup per local/prepare_dict_ctc.sh) — the real 125k-word
+    trie, real homophone classes (up to 14 members), real prefix structure."""
     import tempfile
 
     from b2txt_tpu.lm import Lexicon
@@ -123,7 +128,24 @@ def build_world(vocab_size: int, order: int = 3, seed: int = 0,
 
     rng = np.random.default_rng(seed)
     stats = None
-    if adversarial:
+    if real_lexicon:
+        from b2txt_tpu.data.adversarial import lexicon_stats
+        from b2txt_tpu.data.real_assets import (have_real_dict,
+                                                real_lexicon as _load_real)
+
+        if not have_real_dict():
+            raise SystemExit("--real_lexicon: reference dict.txt not found")
+        t0 = time.perf_counter()
+        lex, prons = _load_real(
+            max_words=vocab_size if vocab_size < 124_000 else None)
+        trie_build_s = time.perf_counter() - t0
+        words = {w: ps[0] for w, ps in prons.items()}
+        wl = list(words.keys())
+        vocab_size = len(wl)
+        stats = lexicon_stats(words)
+        stats["trie_build_s"] = round(trie_build_s, 2)
+        stats["trie_nodes"] = lex.n_nodes
+    elif adversarial:
         from b2txt_tpu.data.adversarial import homophone_lexicon, lexicon_stats
 
         words, wl = homophone_lexicon(rng, vocab_size)
@@ -139,7 +161,8 @@ def build_world(vocab_size: int, order: int = 3, seed: int = 0,
             pron = [phones[i] for i in rng.integers(0, 39, L)]
             words["w" + "".join(p.lower() for p in pron)] = pron
         wl = list(words.keys())
-    lex = Lexicon.from_words(words)
+    if not real_lexicon:
+        lex = Lexicon.from_words(words)
 
     tmp = tempfile.mkdtemp()
     corpus_path = os.path.join(tmp, "corpus.txt")
@@ -219,6 +242,97 @@ def aggregate_wer(sents, results):
     return agg, lo, hi
 
 
+def measure_llm_finalize(dev, lex, lm, lm_unpruned, cfg, run1, batches,
+                         keys, plens, all_sents, n_utts: int,
+                         tiny: bool = False):
+    """Measured-in-run OPT-6.7b finalize: the reference's FULL per-sentence
+    path (decode → unpruned rescore → augment_nbest → α-blended OPT-6.7b
+    rescore, standalone :567-660) wall-clocked with the 6.7b resident on
+    THIS chip in THIS run. Weights are random bf16 initialized on device
+    (the checkpoint is not downloadable here; forward cost is weight-value
+    independent). Returns the numbers for the headline JSON — replacing the
+    round-4 static 'recorded_r4' constants with in-run measurements."""
+    from b2txt_tpu.decode.opt_lm import (OPTConfig, OPTRescorer, init_params,
+                                         word_hash_encode)
+    from b2txt_tpu.serve.service import DecoderService
+
+    ocfg = OPTConfig.tiny(vocab=4096) if tiny else OPTConfig.opt_6_7b()
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda key: init_params(key, ocfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params["ln_f"]["g"])
+    float(np.asarray(params["ln_f"]["g"][0]))  # scalar sync through tunnel
+    init_s = time.perf_counter() - t0
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+    resc = OPTRescorer(ocfg, params=params,
+                       encode=word_hash_encode(ocfg.vocab_size),
+                       compute_dtype=jnp.bfloat16, max_len=32)
+    svc = DecoderService(
+        lex, lm, cfg.replace(rescore=True, do_opt=True, alpha=0.55),
+        rescore_lm=lm_unpruned, llm=resc, channel_order="model",
+        searcher_backend="device", searcher=dev,
+    )
+
+    # raw OPT forward rate (one shape), for MFU bookkeeping
+    from b2txt_tpu.decode import opt_lm as _ol
+    Bf, Lf = 8, 128
+    tokens = jnp.asarray(np.random.randint(0, ocfg.vocab_size, (Bf, Lf)),
+                         jnp.int32)
+    fmask = jnp.ones((Bf, Lf), jnp.float32)
+
+    @jax.jit
+    def fwd(p, t, m):
+        return _ol.forward(p, t, m, ocfg,
+                           compute_dtype=jnp.bfloat16)[:, -1, :8].sum()
+
+    float(np.asarray(fwd(params, tokens, fmask)))  # compile
+    t0 = time.perf_counter()
+    for _ in range(4):
+        float(np.asarray(fwd(params, tokens, fmask)))
+    fdt = (time.perf_counter() - t0) / 4
+    mfu = 2 * n_params * Bf * Lf / fdt / 197e12  # v5e bf16 peak 197 TF/s
+
+    # finalize pipeline: warm/compile on batch 0, then time whole batches
+    # until n_utts real utterances are finalized
+    B = int(batches[0][0].shape[0])
+    t0 = time.perf_counter()
+    lp0, _ = run1(batches[0][0], keys[0])
+    svc.decode_batched_utterances([(lp0, plens)], [batches[0][1]])
+    warm_s = time.perf_counter() - t0
+
+    done = 0
+    outs, sents = [], []
+    t0 = time.perf_counter()
+    j = 0
+    while done < n_utts and j < len(batches):
+        lab, n_real, batch_sents = batches[j]
+        lp_dev, _ = run1(lab, keys[j])
+        outs.extend(svc.decode_batched_utterances([(lp_dev, plens)], [n_real]))
+        sents.extend(batch_sents)
+        done += n_real
+        j += 1
+    wall = time.perf_counter() - t0
+    correct = sum(o.sentence == s for o, s in zip(outs, sents))
+    rate = done / wall
+    return {
+        "finalize_with_opt67b_sentences_per_s": round(rate, 2),
+        "finalize_with_opt67b_s_per_sentence": round(wall / done, 3),
+        "finalize_with_opt67b_exact": f"{correct}/{done}",
+        "finalize_utts": done,
+        "includes": "stage1 RNN + device decode + on-chip unpruned rescore "
+                    "+ augment_nbest + OPT-6.7b alpha-blend (alpha 0.55)",
+        "opt67b_params": n_params,
+        "opt67b_hbm_gb_bf16": round(n_params * 2 / 2**30, 2),
+        "opt67b_init_s": round(init_s, 1),
+        "opt67b_forward_tokens_per_s": round(Bf * Lf / fdt, 1),
+        "opt67b_mfu": round(mfu, 3),
+        "warm_compile_s": round(warm_s, 1),
+        "measured_in_run": True,
+    }
+
+
 def _forced_cpu() -> bool:
     return getattr(jax.config, "jax_platforms", None) == "cpu"
 
@@ -269,6 +383,12 @@ def main() -> None:
     p.add_argument("--device_batch", type=int, default=128)
     p.add_argument("--bins", type=int, default=520)
     p.add_argument("--adversarial", action="store_true")
+    p.add_argument("--real_lexicon", action="store_true",
+                   help="decode over the reference's ACTUAL CMUdict "
+                        "(examples/speech/s0/dict.txt): real 125k-word trie,"
+                        " real homophone classes (max 14) and prefix "
+                        "structure; corpus/LM still synthetic (no real text "
+                        "corpus ships with the reference)")
     p.add_argument("--max_homophones", type=int, default=None)
     p.add_argument("--first_beam", type=int, default=8,
                    help="phone-extension prune: per-frame top-k phones "
@@ -293,9 +413,23 @@ def main() -> None:
                         "probing on the friendly world (where it is ~30% "
                         "slower); pass a value ≥ max_homophones to force "
                         "exact probing on --adversarial")
+    p.add_argument("--llm_utts", type=int, default=256,
+                   help="utterances through the measured-in-run OPT-6.7b "
+                        "finalize stage (0 disables it)")
+    p.add_argument("--skip_llm", action="store_true",
+                   help="skip the OPT-6.7b finalize stage (e.g. on the "
+                        "forced-CPU backend, where a 6.7b forward is "
+                        "impractical)")
+    p.add_argument("--llm_tiny", action="store_true",
+                   help="run the LLM finalize stage with OPTConfig.tiny "
+                        "(wiring test on the CPU backend; numbers are NOT "
+                        "6.7b numbers and are labeled as such)")
     args = p.parse_args()
-    max_h = args.max_homophones or (6 if args.adversarial else 4)
-    if args.close_top is None and args.adversarial:
+    max_h = args.max_homophones or (
+        6 if (args.adversarial or args.real_lexicon) else 4)
+    if args.close_top is None and (args.adversarial or args.real_lexicon):
+        # the real CMUdict is homophone-dense (10% of classes >1, max 14);
+        # close_probe_top=2 is the measured win regime (DESIGN.md round-4)
         args.close_top = 2
 
     _guard_tpu_reachable(args)
@@ -319,7 +453,8 @@ def main() -> None:
     t0 = time.perf_counter()
     (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng,
      lex_stats) = build_world(args.vocab, args.order,
-                              adversarial=args.adversarial)
+                              adversarial=args.adversarial,
+                              real_lexicon=args.real_lexicon)
     build_s = time.perf_counter() - t0
     utts = make_planted_utts(lex, wl, rng, args.utts, T)
     words_per = float(np.mean([len(s.split()) for s, _ in utts]))
@@ -462,6 +597,24 @@ def main() -> None:
     mode = ("device" if device_pipeline >= host_overlapped else
             "host-overlapped")
 
+    # ---- measured-in-run OPT-6.7b finalize (replaces the round-4 static
+    # 'recorded' constants). Failure-isolated: an LLM-stage error reports
+    # itself in the JSON without costing the headline measurement above.
+    llm_stage = {"skipped": True}
+    if args.llm_utts > 0 and not args.skip_llm and (
+        args.llm_tiny or not _forced_cpu()
+    ):
+        try:
+            llm_stage = measure_llm_finalize(
+                dev, lex, lm, lm_unpruned, cfg, run1, batches, keys, plens,
+                all_sents, n_utts=args.llm_utts, tiny=args.llm_tiny)
+            if args.llm_tiny:
+                llm_stage["tiny_model"] = True
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            llm_stage = {"error": f"{type(e).__name__}: {e}"[:300]}
+    llm_rate = (None if args.llm_tiny
+                else llm_stage.get("finalize_with_opt67b_sentences_per_s"))
+
     extra = {
         "headline_mode": mode,
         "connected": True,
@@ -499,29 +652,33 @@ def main() -> None:
         "device_compile_s": round(dev_compile_s, 1),
         **rnn_info,
     }
-    if args.adversarial:
+    # per-20 ms-bin decode latency per chip (BASELINE.md north star): both
+    # the stage-1-only figure (the r01/r02 'per_bin_latency_us' definition)
+    # and the full connected pipeline's
+    extra["per_bin_latency_us"] = round(1e6 / (rnn_rate * T), 4)
+    extra["pipeline_per_bin_latency_us"] = round(1e6 / (headline * T), 4)
+
+    # the reference baseline (~1.38 sentences/s, evaluate_model.py:185)
+    # INCLUDES its OPT-6.7b rescoring stage; report BOTH multipliers —
+    # the n-gram-pipeline headline vs it (apples-to-oranges on the LLM
+    # stage, stated as such) and the honest LLM-inclusive one
+    extra["llm_finalize"] = llm_stage
+    extra["multipliers"] = {
+        "ngram_pipeline_vs_reference_full":
+            round(headline / BASELINE_SENTENCES_PER_SEC, 2),
+        "llm_inclusive_vs_reference_full":
+            (round(llm_rate / BASELINE_SENTENCES_PER_SEC, 2)
+             if llm_rate else None),
+        "note": "reference 1.38 sent/s includes OPT rescoring; "
+                "'llm_inclusive' is the like-for-like multiplier",
+    }
+
+    if args.real_lexicon:
+        extra["real_lexicon"] = True
+        extra["lexicon_stats"] = lex_stats
+    elif args.adversarial:
         extra["adversarial"] = True
         extra["lexicon_stats"] = lex_stats
-    else:
-        # companion numbers measured this round on this chip by the named
-        # drive scripts (RECORDED, not re-measured in this run — rerun the
-        # scripts to refresh; docs/ROUND4.md holds the full methodology)
-        extra["recorded_r4"] = {
-            "opt67b_forward_tokens_per_s": 10250,
-            "opt67b_mfu": 0.69,
-            "opt67b_hbm_gb_bf16": 12.4,
-            "opt_nbest100_rescore_s_per_sentence": 0.208,
-            "finalize_with_opt67b_sentences_per_s": 9.69,
-            "finalize_with_opt67b_exact": "64/64",
-            "train_steps_per_s_chained": 52.3,
-            "adversarial_connected_sentences_per_s": 176.3,
-            "adversarial_device_decode_sentences_per_s": 207.9,
-            "adversarial_native_sentences_per_s": 147.5,
-            "adversarial_close_probe_top": 2,
-            "adversarial_beam_width": 48,
-            "source": "scripts/bench_opt.py --full | scripts/bench_training"
-                      ".py | bench.py --adversarial (BENCH logs, round 4)",
-        }
 
     print(json.dumps({
         "metric": "pipeline_sentences_per_sec",

@@ -43,22 +43,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def word_hash_encode(vocab_size: int):
-    """Stable ~1-token-per-word encoder for throughput drives with random
-    weights: matches GPT2-BPE's token COUNT on short hypotheses (~1.3
-    tokens/word) without needing the (undownloadable) vocab files. Real
-    deployments pass utils.bpe.ByteBPE.for_opt(...) instead."""
+    from b2txt_tpu.decode.opt_lm import word_hash_encode as _whe
 
-    import zlib
-
-    def enc(text: str, max_len: int):
-        ids = [2]  # OPT BOS
-        for w in text.split():
-            # crc32, not hash(): builtin str hash is salted per process and
-            # would make the drive's scores/exact counts non-reproducible
-            ids.append((zlib.crc32(w.encode()) % (vocab_size - 10)) + 10)
-        return ids[:max_len]
-
-    return enc
+    return _whe(vocab_size)
 
 
 def stage_a_forward(cfg, params, reps: int = 8):
