@@ -66,6 +66,13 @@ class LmHyp:
     ac_s: float = NEG_INF
     ac_ns: float = NEG_INF
     lm: float = 0.0
+    # lattice provenance (Viterbi mode): graph node id each score component
+    # descends from (0 = utterance start) + the component's score AT that
+    # node, so edge weights are exact span costs (decode/lattice.py)
+    barc_s: int = 0
+    barc_ns: int = 0
+    bsc_s: float = 0.0
+    bsc_ns: float = 0.0
 
     @property
     def score(self) -> float:
@@ -101,6 +108,7 @@ class LexiconBeamSearch:
         sum_mode: Optional[bool] = None,
         max_homophones: int = 4,
         lm_lookahead: bool = True,
+        state_key: str = "history",
     ):
         self.lexicon = lexicon
         self.lm = lm
@@ -110,6 +118,16 @@ class LexiconBeamSearch:
         self.blank = blank
         self.sil = sil
         self.max_homophones = max_homophones
+        # hypothesis state space: "history" merges only identical full word
+        # histories (the legacy cross-backend contract), "ngram" truncates
+        # to the LM context (order−1 words) — Kaldi's token-passing state
+        # space (lattice-faster-decoder.h), where different histories merge
+        # and the merged-away alternatives become lattice depth. Top-1 is
+        # exact either way (the LM context is a sufficient statistic).
+        if state_key not in ("history", "ngram"):
+            raise ValueError(f"state_key must be history|ngram: {state_key}")
+        self.state_key = state_key
+        self._ctx_len = max(getattr(lm, "order", 2) - 1, 1)
         # LM lookahead smearing over the trie: partial words carry the best
         # reachable unigram score so they compete fairly with closed words
         # (cancels exactly at word close — net final scores are unchanged).
@@ -142,11 +160,20 @@ class LexiconBeamSearch:
         self.config = config
 
     def reset(self) -> None:
+        from .lattice import LatticeGraph
+
         root = LmHyp(s=0.0, ns=NEG_INF, ac_s=0.0, ac_ns=NEG_INF)
         self.hyps: Dict[Key, LmHyp] = {((), 0, -1): root}
         self.n_frames = 0
         self._finalized: Optional[List[DecodeResult]] = None
         self._pending_blank = False  # blank-skip bookkeeping
+        self._graph = LatticeGraph(self._ctx_len)  # lattice provenance
+        self._step_idx = 0  # counts _step calls incl. re-inserted blanks
+
+    def _key(self, words: Tuple[int, ...], node: int, last: int) -> Key:
+        if self.state_key == "ngram":
+            return (words[-self._ctx_len:], node, last)
+        return (words, node, last)
 
     # ----------------------------------------------------------------- core
     def _score(self, h: LmHyp) -> float:
@@ -158,7 +185,7 @@ class LexiconBeamSearch:
         return max(h.s, h.ns)
 
     def _merge(self, into: Dict[Key, LmHyp], hyp: LmHyp) -> None:
-        key = (hyp.words, hyp.node, hyp.last)
+        key = self._key(hyp.words, hyp.node, hyp.last)
         cur = into.get(key)
         if cur is None:
             into[key] = hyp
@@ -168,12 +195,47 @@ class LexiconBeamSearch:
             cur.ns = log_add(cur.ns, hyp.ns)
             cur.ac_s = max(cur.ac_s, hyp.ac_s)
             cur.ac_ns = max(cur.ac_ns, hyp.ac_ns)
-        else:
-            if hyp.s > cur.s:
-                cur.s, cur.ac_s = hyp.s, hyp.ac_s
-            if hyp.ns > cur.ns:
-                cur.ns, cur.ac_ns = hyp.ns, hyp.ac_ns
-        # lm equal by construction for identical word history
+            return
+        # Viterbi: per-component max; a finite loser from a DIFFERENT word
+        # boundary becomes a lattice merge ε-edge when within lattice_beam
+        # of the winner (Kaldi's lattice pruning margin,
+        # lattice-faster-decoder.h) — the depth mechanism of the reference's
+        # determinized lattice
+        lb = self.config.lattice_beam
+        t = self._step_idx
+
+        def comp(win_v, win_ac, win_b, win_bs, lose_v, lose_b, lose_bs):
+            if (lose_v != NEG_INF and win_b != lose_b
+                    and win_v - lose_v <= lb):
+                m = self._graph.merge(
+                    t, [(win_b, win_v - win_bs), (lose_b, lose_v - lose_bs)]
+                )
+                return win_v, win_ac, m, win_v
+            return win_v, win_ac, win_b, win_bs
+
+        if self.state_key == "ngram" and (
+            max(hyp.s, hyp.ns) > max(cur.s, cur.ns)
+        ):
+            # different full histories can share a key: the readout fields
+            # follow the overall-best path (the lattice readout is exact
+            # regardless — scores/words come from the graph)
+            cur.words, cur.lm = hyp.words, hyp.lm
+        if hyp.s > cur.s:
+            cur.s, cur.ac_s, cur.barc_s, cur.bsc_s = comp(
+                hyp.s, hyp.ac_s, hyp.barc_s, hyp.bsc_s,
+                cur.s, cur.barc_s, cur.bsc_s)
+        elif cur.s != NEG_INF:
+            cur.s, cur.ac_s, cur.barc_s, cur.bsc_s = comp(
+                cur.s, cur.ac_s, cur.barc_s, cur.bsc_s,
+                hyp.s, hyp.barc_s, hyp.bsc_s)
+        if hyp.ns > cur.ns:
+            cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns = comp(
+                hyp.ns, hyp.ac_ns, hyp.barc_ns, hyp.bsc_ns,
+                cur.ns, cur.barc_ns, cur.bsc_ns)
+        elif cur.ns != NEG_INF:
+            cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns = comp(
+                cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns,
+                hyp.ns, hyp.barc_ns, hyp.bsc_ns)
 
     def _lm_context(self, words: Tuple[int, ...]) -> List[str]:
         # Sentence-start conditioning: G.fst decoding starts in the <s>
@@ -199,16 +261,27 @@ class LexiconBeamSearch:
             )
             fb_thresh = vals[fb - 1]
 
-        for (words, node, last), h in self.hyps.items():
+        record = not cfg.sum_mode  # lattice provenance is Viterbi-only
+        t_idx = self._step_idx
+        for h in self.hyps.values():
+            # h.words is the FULL history (the dict key may be the truncated
+            # ngram state under state_key="ngram")
+            words, node, last = h.words, h.node, h.last
             score = self._score(h)
             ac = h.ac_score
+            # boundary provenance of the max component (Viterbi)
+            if h.s >= h.ns:
+                bb, bbs = h.barc_s, h.bsc_s
+            else:
+                bb, bbs = h.barc_ns, h.bsc_ns
             # ---- blank: stay ----
             lb = float(lp[self.blank])
             self._merge(
                 next_hyps,
                 LmHyp(words, node, last,
                       s=score + scale * lb, ns=NEG_INF,
-                      ac_s=ac + lb, ac_ns=NEG_INF, lm=h.lm),
+                      ac_s=ac + lb, ac_ns=NEG_INF, lm=h.lm,
+                      barc_s=bb, bsc_s=bbs),
             )
             # ---- repeat of last symbol (absorbed, non-blank path) ----
             if last >= 0 and h.ns != NEG_INF:
@@ -217,7 +290,8 @@ class LexiconBeamSearch:
                     next_hyps,
                     LmHyp(words, node, last,
                           s=NEG_INF, ns=h.ns + scale * lc,
-                          ac_s=NEG_INF, ac_ns=h.ac_ns + lc, lm=h.lm),
+                          ac_s=NEG_INF, ac_ns=h.ac_ns + lc, lm=h.lm,
+                          barc_ns=h.barc_ns, bsc_ns=h.bsc_ns),
                 )
             # ---- extend with a new (or blank-separated repeated) symbol ----
             for c in range(1, lp.shape[0]):
@@ -226,6 +300,10 @@ class LexiconBeamSearch:
                     continue
                 base = h.s if c == last else score            # ranking base
                 ac_base = h.ac_s if c == last else ac
+                if c == last:
+                    src_barc, src_bsc = h.barc_s, h.bsc_s
+                else:
+                    src_barc, src_bsc = bb, bbs
                 if base == NEG_INF:
                     continue
                 if c == self.sil:
@@ -235,7 +313,8 @@ class LexiconBeamSearch:
                             next_hyps,
                             LmHyp(words, 0, self.sil,
                                   s=NEG_INF, ns=base + scale * lc,
-                                  ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm),
+                                  ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm,
+                                  barc_ns=src_barc, bsc_ns=src_bsc),
                         )
                     # SIL at a word-final node closes the word(s)
                     wlist = self._node_words(node)
@@ -246,13 +325,19 @@ class LexiconBeamSearch:
                         # swap this word's lookahead for its true LM score,
                         # re-enter the root lookahead for the next word
                         la_adj = float(self.la[0]) - float(self.la[node])
+                        ns_new = base + scale * lc + lm_add + la_adj
+                        arc_id = 0
+                        if record:
+                            arc_id = self._graph.close(
+                                src_barc, wid, t_idx, ns_new - src_bsc)
                         self._merge(
                             next_hyps,
                             LmHyp(words + (wid,), 0, self.sil,
                                   s=NEG_INF,
-                                  ns=base + scale * lc + lm_add + la_adj,
+                                  ns=ns_new,
                                   ac_s=NEG_INF, ac_ns=ac_base + lc,
-                                  lm=h.lm + lm_add),
+                                  lm=h.lm + lm_add,
+                                  barc_ns=arc_id, bsc_ns=ns_new),
                         )
                 else:
                     child = int(self.lexicon.next[node, c])
@@ -263,7 +348,8 @@ class LexiconBeamSearch:
                         next_hyps,
                         LmHyp(words, child, c,
                               s=NEG_INF, ns=base + scale * lc + la_adj,
-                              ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm),
+                              ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm,
+                              barc_ns=src_barc, bsc_ns=src_bsc),
                     )
 
         ranked = sorted(next_hyps.values(), key=self._score, reverse=True)
@@ -271,7 +357,8 @@ class LexiconBeamSearch:
         if keep and self.config.beam > 0:
             cutoff = self._score(keep[0]) - self.config.beam
             keep = [h for h in keep if self._score(h) >= cutoff]
-        self.hyps = {(h.words, h.node, h.last): h for h in keep}
+        self.hyps = {self._key(h.words, h.node, h.last): h for h in keep}
+        self._step_idx += 1
 
     def decode(self, log_probs: np.ndarray) -> None:
         """Advance over a (T, C) chunk of *log-probs* in model channel order
@@ -307,13 +394,23 @@ class LexiconBeamSearch:
 
     def _close_final_words(self) -> List[LmHyp]:
         """End-of-utterance: close hyps at word-final nodes (trailing SIL is
-        optional, as in L.fst), keep root hyps, add </s> LM score."""
+        optional, as in L.fst), keep root hyps, add </s> LM score. Also
+        records lattice FinalRecs (Viterbi mode) for nbest_lattice()."""
         cfg = self.config
+        record = not cfg.sum_mode
+        if record:
+            self._graph.final_edges = []  # idempotent across repeated calls
         out: Dict[Key, LmHyp] = {}
-        for (words, node, last), h in self.hyps.items():
-            candidates: List[LmHyp] = []
+        for h in self.hyps.values():
+            words, node, last = h.words, h.node, h.last
+            # (candidate, boundary node + score of max component, end word)
+            candidates: List[Tuple[LmHyp, int, float, int]] = []
+            if h.s >= h.ns:
+                bb, bbs = h.barc_s, h.bsc_s
+            else:
+                bb, bbs = h.barc_ns, h.bsc_ns
             if node == 0:
-                candidates.append(h)
+                candidates.append((h, bb, bbs, -1))
             else:
                 ctx = self._lm_context(words)
                 for wid in self._node_words(node)[: self.max_homophones]:
@@ -321,13 +418,14 @@ class LexiconBeamSearch:
                     # same lookahead cancellation as in-search word closes, so
                     # final candidates all share the root-lookahead offset
                     adj = wlp + float(self.la[0]) - float(self.la[node])
-                    candidates.append(
+                    candidates.append((
                         replace(h, words=words + (wid,), node=0,
                                 s=(h.s + adj if h.s != NEG_INF else NEG_INF),
                                 ns=(h.ns + adj if h.ns != NEG_INF else NEG_INF),
-                                lm=h.lm + wlp)
-                    )
-            for cand in candidates:
+                                lm=h.lm + wlp),
+                        bb, bbs, wid,
+                    ))
+            for cand, barc, bscore, endw in candidates:
                 eos_lp = self.lm.logp(self._lm_context(cand.words), EOS)
                 cand = replace(
                     cand,
@@ -335,16 +433,56 @@ class LexiconBeamSearch:
                     ns=(cand.ns + eos_lp if cand.ns != NEG_INF else NEG_INF),
                     lm=cand.lm + eos_lp,
                 )
+                if record and self._score(cand) != NEG_INF:
+                    self._graph.final(barc, endw, self._score(cand) - bscore)
                 key = (cand.words, 0, cand.last)
                 prev = out.get(key)
                 if prev is None or self._score(cand) > self._score(prev):
                     out[key] = cand
         return sorted(out.values(), key=self._score, reverse=True)
 
+    def nbest_lattice(self, k: Optional[int] = None) -> List[DecodeResult]:
+        """Lattice n-best: k best word sequences over ALL recorded close
+        events (the analogue of the reference's ShortestPath over the
+        determinized lattice, ctc_wfst_beam_search.cc:123-160) — reaches
+        nbest-deep candidate lists where the surviving-beam pool collapses
+        to a handful of sentences. Viterbi mode only (sum_mode merges path
+        mass across alignments; per-path provenance is undefined there).
+
+        Scores: rank = acoustic_scale·ac + lm exactly (lookahead telescopes
+        to zero boundary-to-boundary); lm is recomputed per sequence so
+        DecodeResult carries the same (ac, lm) split as the pool."""
+        if self.config.sum_mode:
+            raise ValueError("lattice n-best requires sum_mode=False")
+        self._close_final_words()  # (re)build the graph's final edges
+        k = k or self.config.nbest
+        seqs = self._graph.kbest(k)
+        cfg = self.config
+        out: List[DecodeResult] = []
+        for words, rank in seqs:
+            ctx = [BOS]
+            lm_total = 0.0
+            for w in words:
+                lm_total += (self.lm.logp(ctx, self.lexicon.words[w])
+                             + cfg.length_penalty)
+                ctx.append(self.lexicon.words[w])
+            lm_total += self.lm.logp(ctx, EOS)
+            out.append(DecodeResult(
+                sentence=" ".join(self.lexicon.words[w] for w in words),
+                ac_score=(rank - lm_total) / cfg.acoustic_scale,
+                lm_score=lm_total,
+            ))
+        return out
+
     def finish_decoding(self) -> List[DecodeResult]:
         """Parity: FinishDecoding → FinalizeSearch n-best extraction.
         Duplicate sentences (same words, different alignment tail) keep only
-        their best-scoring entry — matching the native/device searchers."""
+        their best-scoring entry — matching the native/device searchers.
+        With config.lattice_nbest (Viterbi mode), the n-best list deepens to
+        the lattice k-best (nbest_lattice) instead of the surviving pool."""
+        if self.config.lattice_nbest and not self.config.sum_mode:
+            self._finalized = self.nbest_lattice()
+            return self._finalized
         finals = self._close_final_words()
         self._finalized = []
         seen = set()

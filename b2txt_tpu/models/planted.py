@@ -64,11 +64,17 @@ def planted_params(
     code: np.ndarray,
     n_classes: int = 41,
     center_frame: Optional[int] = None,
+    head_gain: float = _HEAD_GAIN,
+    blank_bias: float = _BLANK_BIAS,
 ) -> Dict:
     """Full-size parameter pytree implementing the phoneme-code readout.
 
     code: (n_classes, neural_dim) float32 — the planted feature codes
     (data/synthetic.phoneme_code at neural_dim=512 for the bench).
+    ``head_gain``/``blank_bias`` soften or sharpen the posteriors (the
+    quality-ladder knob, scripts/quality_ladder.py): lower gains produce
+    soft, ambiguous posteriors where beam diversity and rescoring matter —
+    the regime the fixed canonical calibration (45/12) is tested AGAINST.
     """
     D = cfg.n_input_features
     H = cfg.n_units
@@ -109,9 +115,9 @@ def planted_params(
         layers.append(layer_arrays(H, eye))
 
     out_w = np.zeros((n_classes, H), np.float32)
-    out_w[:, :n_classes] = eye * _HEAD_GAIN
+    out_w[:, :n_classes] = eye * head_gain
     out_b = np.zeros((n_classes,), np.float32)
-    out_b[0] = _BLANK_BIAS                      # BLANK wins on silence frames
+    out_b[0] = blank_bias                       # BLANK wins on silence frames
 
     return {
         "day_w": jnp.tile(jnp.eye(D, dtype=jnp.float32)[None], (n_days, 1, 1)),

@@ -333,6 +333,15 @@ struct Options {
   bool sum_mode = true;        // true: CTC-proper log-sum path merge
                                // (ctc_prefix_beam_search semantics); false:
                                // Viterbi max (Kaldi token passing over TLG)
+  // --- lattice n-best (decode/lattice.py design; Viterbi mode only) ---
+  bool ngram_key = false;      // truncate the hypothesis state to the LM
+                               // context (Kaldi's token-passing state space,
+                               // lattice-faster-decoder.h) so different
+                               // histories merge — the lattice depth source
+  bool lattice_nbest = false;  // Finalize() = k-best over the recorded
+                               // provenance graph instead of the beam pool
+  double lattice_beam = 8.0;   // margin for keeping merged-away alternatives
+                               // (LatticeFasterDecoderConfig::lattice_beam)
 };
 
 struct Decoder {

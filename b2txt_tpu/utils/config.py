@@ -219,6 +219,11 @@ class DecodeConfig:
     # reference's Kaldi token passing over TLG.fst). All three searchers
     # honor it.
     sum_mode: bool = True
+    # n-best from the word lattice of ALL recorded close events instead of
+    # the surviving-beam pool (the reference's determinized-lattice
+    # ShortestPath depth, ctc_wfst_beam_search.cc:123-160). Viterbi
+    # (sum_mode=False) only; see decode/lattice.py.
+    lattice_nbest: bool = False
 
     def to_dict(self) -> Dict[str, Any]:
         return _asdict(self)

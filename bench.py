@@ -68,11 +68,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_SENTENCES_PER_SEC = 1450 / (17.5 * 60)  # mid of the 15–20 min window
 
 
-def make_stage1(B: int, T: int):
+def make_stage1(B: int, T: int, head_gain: float | None = None,
+                blank_bias: float | None = None):
     """Jitted full-size stage 1: planted labels (B, T) int32 → device-resident
     (B, P, 41) log-probs + a scalar checksum (the ONLY thing fetched when
     timing stage 1 alone — big-buffer fetches through the axon tunnel are
-    slow and one-element reads can transfer whole buffers)."""
+    slow and one-element reads can transfer whole buffers).
+    ``head_gain``/``blank_bias`` override the canonical posterior calibration
+    (45/12) — the soft-posterior quality-ladder knob."""
     from b2txt_tpu.data.synthetic import phoneme_code
     from b2txt_tpu.models import gru_decoder
     from b2txt_tpu.models.planted import features_on_device, planted_params
@@ -81,7 +84,12 @@ def make_stage1(B: int, T: int):
 
     cfg = TrainConfig()
     code_np = phoneme_code(cfg.model.n_input_features)
-    params = planted_params(cfg.model, 45, code_np)
+    gkw = {}
+    if head_gain is not None:
+        gkw["head_gain"] = head_gain
+    if blank_bias is not None:
+        gkw["blank_bias"] = blank_bias
+    params = planted_params(cfg.model, 45, code_np, **gkw)
     code = jnp.asarray(code_np)  # host->device only; never fetched back
     dt = cfg.dataset.data_transforms
     ksize = len(gaussian_kernel(dt.smooth_kernel_std, dt.smooth_kernel_size))

@@ -1,0 +1,180 @@
+"""Lattice n-best depth + exactness (VERDICT r4 items: lattice-depth n-best
+evidence, n-best depth unverified).
+
+Reference tie-in: the production n-best is ShortestPath over a determinized
+Kaldi lattice (ctc_wfst_beam_search.cc:123-160) whose depth comes from
+token-passing recombination at max_active=7000 states. The rebuild's
+provenance-graph lattice (decode/lattice.py + LexiconBeamSearch
+state_key="ngram") restores that mechanism; these tests pin its guarantees:
+
+  * no candidate ever OVERESTIMATES the forced-alignment oracle
+    (forced_rank — a spliced path overestimating would mean a splice bug);
+  * top-1 equals the beam's own best (and the optimal forced alignment in
+    the unpruned regime);
+  * candidate lists reach nbest depth on soft posteriors at wide beams,
+    where the surviving-beam pool collapses to a handful;
+  * oracle WER of the lattice list improves on the pool's.
+"""
+
+import numpy as np
+import pytest
+
+from b2txt_tpu.data.synthetic import ctc_logprobs
+from b2txt_tpu.decode.lattice import forced_rank
+from b2txt_tpu.decode.lmbeam import LexiconBeamSearch
+from b2txt_tpu.lm.lexicon import Lexicon
+from b2txt_tpu.lm.ngram import train_ngram
+from b2txt_tpu.utils.config import DecodeConfig
+from b2txt_tpu.utils.metrics import edit_distance
+from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(0)
+    phones = LOGIT_TO_PHONEME[1:40]
+    words = {}
+    while len(words) < 500:
+        L = rng.integers(3, 8)
+        pron = [phones[i] for i in rng.integers(0, 39, L)]
+        words["w" + "".join(p.lower() for p in pron)] = pron
+    wl = list(words)
+    lex = Lexicon.from_words(words)
+    sents = [" ".join(wl[i] for i in rng.integers(0, 500, 4))
+             for _ in range(40)]
+    lm = train_ngram([s.split() for s in sents], order=3)
+    wid = {w: i for i, w in enumerate(lex.words)}
+    return lex, lm, sents, wid, rng
+
+
+def _rank(cfg, c):
+    return cfg.acoustic_scale * c.ac_score + c.lm_score
+
+
+@pytest.mark.parametrize("state_key", ["history", "ngram"])
+def test_no_overestimate_vs_forced_oracle(world, state_key):
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=100,
+                       beam_width=48, first_beam_size=8, sum_mode=False)
+    bs = LexiconBeamSearch(lex, lm, cfg, max_homophones=4,
+                           state_key=state_key)
+    for sent in sents[:4]:
+        ids = lex.sentence_to_phonemes(sent)
+        lp = ctc_logprobs(rng, ids, noise=2.5)
+        bs.reset()
+        bs.decode(lp)
+        for c in bs.nbest_lattice()[:30]:
+            f = forced_rank(lp, [wid[w] for w in c.sentence.split()],
+                            lex, lm, cfg)
+            assert _rank(cfg, c) <= f + 1e-6, (c.sentence, _rank(cfg, c), f)
+
+
+def test_top1_exact_in_unpruned_regime(world):
+    """No first-beam prune + wide beam + peaked posteriors: lattice top-1 is
+    the truth AND scores exactly the forced-alignment optimum."""
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=50,
+                       beam_width=256, first_beam_size=0, sum_mode=False)
+    bs = LexiconBeamSearch(lex, lm, cfg, max_homophones=4, state_key="ngram")
+    for sent in sents[:3]:
+        ids = lex.sentence_to_phonemes(sent)
+        lp = ctc_logprobs(rng, ids, noise=0.3)
+        bs.reset()
+        bs.decode(lp)
+        lat = bs.nbest_lattice()
+        assert lat[0].sentence == sent
+        f = forced_rank(lp, [wid[w] for w in sent.split()], lex, lm, cfg)
+        assert abs(_rank(cfg, lat[0]) - f) < 1e-6
+        # descending, deduped
+        ranks = [_rank(cfg, c) for c in lat]
+        assert all(ranks[i] >= ranks[i + 1] - 1e-9
+                   for i in range(len(ranks) - 1))
+        assert len({c.sentence for c in lat}) == len(lat)
+
+
+def test_lattice_depth_reaches_nbest_on_soft_posteriors(world):
+    """The headline guarantee: on soft posteriors at a Kaldi-scale state
+    budget the lattice list reaches nbest depth, where the surviving-beam
+    pool measures ~1-8 (scripts/quality_ladder.py)."""
+    lex, lm, sents, wid, rng = world
+    nbest = 25
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=nbest,
+                       beam_width=512, beam=17.0, lattice_beam=12.0,
+                       first_beam_size=8, sum_mode=False)
+    bs = LexiconBeamSearch(lex, lm, cfg, max_homophones=4, state_key="ngram")
+    for sent in sents[:3]:
+        ids = lex.sentence_to_phonemes(sent)
+        lp = ctc_logprobs(rng, ids, noise=2.5)
+        bs.reset()
+        bs.decode(lp)
+        lat = bs.nbest_lattice()
+        assert len(lat) >= nbest, len(lat)
+
+
+def test_lattice_improves_oracle_wer(world):
+    """Oracle WER (best candidate in the list) must improve on the
+    surviving-beam pool's — the quality the reference's lattice buys its
+    OPT rescore input."""
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=100,
+                       beam_width=512, beam=17.0, lattice_beam=12.0,
+                       first_beam_size=8, sum_mode=False)
+    # pool baseline: canonical-width history-keyed searcher
+    cfg_pool = cfg.replace(beam_width=48)
+    bs_lat = LexiconBeamSearch(lex, lm, cfg, max_homophones=4,
+                               state_key="ngram")
+    bs_pool = LexiconBeamSearch(lex, lm, cfg_pool, max_homophones=4)
+    d_lat = tot = d_pool = 0
+    for sent in sents[:6]:
+        ids = lex.sentence_to_phonemes(sent)
+        lp = ctc_logprobs(rng, ids, noise=2.2)
+        ref = sent.split()
+        bs_lat.reset()
+        bs_lat.decode(lp)
+        lat = bs_lat.nbest_lattice()
+        bs_pool.reset()
+        bs_pool.decode(lp)
+        pool = bs_pool.finish_decoding()
+        d_lat += min(edit_distance(ref, c.sentence.split()) for c in lat)
+        d_pool += min(edit_distance(ref, c.sentence.split()) for c in pool)
+        tot += len(ref)
+    assert d_lat <= d_pool, (d_lat, d_pool)
+    assert d_lat < tot  # the deep list actually recovers words
+
+
+def test_finish_decoding_lattice_mode(world):
+    """config.lattice_nbest routes finish_decoding through the lattice."""
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=40,
+                       beam_width=256, lattice_beam=10.0, first_beam_size=8,
+                       sum_mode=False, lattice_nbest=True)
+    bs = LexiconBeamSearch(lex, lm, cfg, max_homophones=4, state_key="ngram")
+    ids = lex.sentence_to_phonemes(sents[0])
+    lp = ctc_logprobs(rng, ids, noise=2.0)
+    bs.reset()
+    bs.decode(lp)
+    out = bs.finish_decoding()
+    assert out == bs._finalized
+    assert len(out) > 8
+    assert len({c.sentence for c in out}) == len(out)
+
+
+def test_ngram_keying_top1_matches_history_keying(world):
+    """state_key='ngram' (Kaldi token-passing state space) must not change
+    the decoded top-1 on peaked posteriors — the LM context is a sufficient
+    statistic, truncation only re-allocates beam slots."""
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=10,
+                       beam_width=48, first_beam_size=8, sum_mode=False)
+    a = LexiconBeamSearch(lex, lm, cfg, max_homophones=4)
+    b = LexiconBeamSearch(lex, lm, cfg, max_homophones=4, state_key="ngram")
+    for sent in sents[:6]:
+        ids = lex.sentence_to_phonemes(sent)
+        lp = ctc_logprobs(rng, ids, noise=0.4)
+        a.reset()
+        a.decode(lp)
+        b.reset()
+        b.decode(lp)
+        ra = a.finish_decoding()
+        rb = b.finish_decoding()
+        assert ra[0].sentence == rb[0].sentence == sent
