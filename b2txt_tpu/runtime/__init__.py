@@ -55,6 +55,9 @@ def _load():
         ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.b2t_set_lattice_opt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+    ]
     lib.b2t_decode.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.c_int,
@@ -115,6 +118,7 @@ class NativeLexiconBeamSearch:
         config: Optional[DecodeConfig] = None,
         max_homophones: int = 4,
         rescore_arpa: Optional[str] = None,
+        state_key: str = "history",
     ):
         lib = _load()
         self._lib = lib
@@ -124,6 +128,9 @@ class NativeLexiconBeamSearch:
                 f"native decoder failed to load {arpa_path} / {lexicon_path}"
             )
         self.max_homophones = max_homophones
+        # "ngram" = Kaldi token-passing state space (LM-context truncated);
+        # required for deep lattice n-best (decode/lattice.py design)
+        self.state_key = state_key
         self.n_frames = 0
         self.config = config or DecodeConfig()
         self.set_opt(self.config)
@@ -157,6 +164,11 @@ class NativeLexiconBeamSearch:
             config.ctc_blank_skip_threshold, config.length_penalty,
             config.nbest, config.beam_width, config.beam, self.max_homophones,
             config.first_beam_size, int(config.sum_mode),
+        )
+        self._lib.b2t_set_lattice_opt(
+            self._h, int(self.state_key == "ngram"),
+            int(getattr(config, "lattice_nbest", False)),
+            config.lattice_beam,
         )
 
     def reset(self) -> None:

@@ -373,6 +373,11 @@ struct Decoder {
     double s = kNegInf, ns = kNegInf;      // ranking (scaled ac + lm)
     double ac_s = kNegInf, ac_ns = kNegInf;
     double lm_score = 0.0;
+    // lattice provenance (Viterbi mode): graph node each component descends
+    // from (0 = start) + the component's score AT that node, so edge
+    // weights are exact span costs (mirrors lmbeam.py barc_*/bsc_*)
+    int bnode_s = 0, bnode_ns = 0;
+    double bsc_s = 0.0, bsc_ns = 0.0;
     // ranking: log-sum of the blank/non-blank components (CTC marginal) or
     // Viterbi max, per Options::sum_mode
     double Score(bool sum) const {
@@ -386,6 +391,52 @@ struct Decoder {
   std::vector<Hyp> hyps;
   int n_frames = 0;
   bool pending_blank = false;
+
+  // ------------------------------------------------------- lattice graph
+  // provenance graph of word-close events + state-merge alternatives
+  // (decode/lattice.py design; node ids are topological by construction)
+  struct LatEdge {
+    int src;
+    int word;   // -1 = epsilon (merge alternative)
+    double w;   // exact span weight (cumulative score delta)
+  };
+  std::vector<int> lat_frame;                // per node: creation step
+  std::vector<std::vector<LatEdge>> lat_in;  // per node: in-edges
+  std::vector<LatEdge> lat_final;            // sink edges (src, end word, w)
+  std::unordered_map<uint64_t, int> lat_close_ids;
+  int step_idx = 0;
+
+  int LatClose(int parent, int new_hist, int word, double weight) {
+    // recombine by (step, LM-context tail of the NEW history): boundary
+    // states are canonical (root, last=SIL, single score component), so any
+    // in-edge may precede any out-edge with exact spliced scores
+    int ctx[8];
+    int n;
+    Context(new_hist, ctx, &n);
+    uint64_t h = NGramLM::HashIds(ctx, n) * 1000003ull +
+                 static_cast<uint64_t>(step_idx);
+    auto it = lat_close_ids.find(h);
+    int nid;
+    if (it == lat_close_ids.end()) {
+      nid = static_cast<int>(lat_frame.size());
+      lat_frame.push_back(step_idx);
+      lat_in.emplace_back();
+      lat_close_ids.emplace(h, nid);
+    } else {
+      nid = it->second;
+    }
+    lat_in[nid].push_back({parent, word, weight});
+    return nid;
+  }
+
+  int LatMerge(int win_node, double win_w, int lose_node, double lose_w) {
+    int nid = static_cast<int>(lat_frame.size());
+    lat_frame.push_back(step_idx);
+    lat_in.emplace_back();
+    lat_in[nid].push_back({win_node, -1, win_w});
+    lat_in[nid].push_back({lose_node, -1, lose_w});
+    return nid;
+  }
   // per-utterance memo of n-gram lookups: beams revisit the same
   // (context, word) pairs on nearly every frame
   std::unordered_map<uint64_t, double> lm_cache;
@@ -444,6 +495,11 @@ struct Decoder {
     pending_blank = false;
     finalized_.clear();
     has_final_ = false;
+    lat_frame.assign(1, -1);  // node 0 = utterance start
+    lat_in.assign(1, {});
+    lat_final.clear();
+    lat_close_ids.clear();
+    step_idx = 0;
   }
 
   void Context(int word_node, int* ctx, int* ctx_len) const {
@@ -464,11 +520,24 @@ struct Decoder {
     std::unordered_map<Key, Hyp, KeyHash> next_map;
     next_map.reserve(hyps.size() * 8);
     const double scale = opts.acoustic_scale;
+    // lattice recording costs a hash+insert per close and a node per
+    // competitive merge; it is opt-in (the plain Viterbi decode path stays
+    // at its measured throughput)
+    const bool rec = !opts.sum_mode && (opts.lattice_nbest || opts.ngram_key);
+
+    auto tail_key = [&](int word_node) -> int64_t {
+      int c[8];
+      int n;
+      Context(word_node, c, &n);
+      return static_cast<int64_t>(NGramLM::HashIds(c, n));
+    };
 
     auto merge = [&](int word_node, int node, int last, double s, double ns,
-                     double ac_s, double ac_ns, double lm_score) {
-      Key k{(static_cast<int64_t>(word_node) << 20) ^ node,
-            static_cast<int64_t>(last)};
+                     double ac_s, double ac_ns, double lm_score,
+                     int bn_s, double bs_s, int bn_ns, double bs_ns) {
+      int64_t hist = opts.ngram_key ? tail_key(word_node)
+                                    : static_cast<int64_t>(word_node);
+      Key k{(hist << 20) ^ node, static_cast<int64_t>(last)};
       auto it = next_map.find(k);
       if (it == next_map.end()) {
         Hyp h;
@@ -480,6 +549,10 @@ struct Decoder {
         h.ac_s = ac_s;
         h.ac_ns = ac_ns;
         h.lm_score = lm_score;
+        h.bnode_s = bn_s;
+        h.bsc_s = bs_s;
+        h.bnode_ns = bn_ns;
+        h.bsc_ns = bs_ns;
         next_map.emplace(k, h);
       } else {
         Hyp& h = it->second;
@@ -488,11 +561,48 @@ struct Decoder {
           h.ns = LogAdd(h.ns, ns);
           h.ac_s = std::max(h.ac_s, ac_s);
           h.ac_ns = std::max(h.ac_ns, ac_ns);
-        } else {
-          // Viterbi: each component keeps its best path (ac follows it —
-          // equal lm within a merge key makes argmax(s) == argmax(ac))
-          if (s > h.s) { h.s = s; h.ac_s = ac_s; }
-          if (ns > h.ns) { h.ns = ns; h.ac_ns = ac_ns; }
+          return;
+        }
+        // Viterbi: each component keeps its best path (ac follows it).
+        // Under ngram keying different full histories share a key: the
+        // readout fields follow the overall-best path (the lattice readout
+        // is exact regardless)
+        if (opts.ngram_key && std::max(s, ns) > std::max(h.s, h.ns)) {
+          h.word_node = word_node;
+          h.lm_score = lm_score;
+        }
+        // a finite loser from a DIFFERENT boundary within lattice_beam
+        // becomes a merge eps-edge (Kaldi's lattice-arc retention)
+        auto comp = [&](double win_v, double win_ac, int win_b, double win_bs,
+                        double lose_v, int lose_b, double lose_bs,
+                        double* v, double* acv, int* b, double* bs) {
+          if (rec && lose_v != kNegInf && win_b != lose_b &&
+              win_v - lose_v <= opts.lattice_beam) {
+            int m = LatMerge(win_b, win_v - win_bs, lose_b, lose_v - lose_bs);
+            *v = win_v;
+            *acv = win_ac;
+            *b = m;
+            *bs = win_v;
+          } else {
+            *v = win_v;
+            *acv = win_ac;
+            *b = win_b;
+            *bs = win_bs;
+          }
+        };
+        if (s > h.s) {
+          comp(s, ac_s, bn_s, bs_s, h.s, h.bnode_s, h.bsc_s,
+               &h.s, &h.ac_s, &h.bnode_s, &h.bsc_s);
+        } else if (h.s != kNegInf) {
+          comp(h.s, h.ac_s, h.bnode_s, h.bsc_s, s, bn_s, bs_s,
+               &h.s, &h.ac_s, &h.bnode_s, &h.bsc_s);
+        }
+        if (ns > h.ns) {
+          comp(ns, ac_ns, bn_ns, bs_ns, h.ns, h.bnode_ns, h.bsc_ns,
+               &h.ns, &h.ac_ns, &h.bnode_ns, &h.bsc_ns);
+        } else if (h.ns != kNegInf) {
+          comp(h.ns, h.ac_ns, h.bnode_ns, h.bsc_ns, ns, bn_ns, bs_ns,
+               &h.ns, &h.ac_ns, &h.bnode_ns, &h.bsc_ns);
         }
       }
     };
@@ -520,12 +630,23 @@ struct Decoder {
       double score = h.Score(sum);
       if (score < window_cutoff) continue;
       double ac = h.Ac();
+      // boundary provenance of the max component (Viterbi)
+      int bb;
+      double bbs;
+      if (h.s >= h.ns) {
+        bb = h.bnode_s;
+        bbs = h.bsc_s;
+      } else {
+        bb = h.bnode_ns;
+        bbs = h.bsc_ns;
+      }
       // blank / absorbed repeat (stay)
       merge(h.word_node, h.node, h.last, score + scale * lp[blank], kNegInf,
-            ac + lp[blank], kNegInf, h.lm_score);
+            ac + lp[blank], kNegInf, h.lm_score, bb, bbs, 0, 0.0);
       if (h.last >= 0 && h.ns != kNegInf) {
         merge(h.word_node, h.node, h.last, kNegInf, h.ns + scale * lp[h.last],
-              kNegInf, h.ac_ns + lp[h.last], h.lm_score);
+              kNegInf, h.ac_ns + lp[h.last], h.lm_score,
+              0, 0.0, h.bnode_ns, h.bsc_ns);
       }
       // extensions
       for (int c = 1; c < V; ++c) {
@@ -533,11 +654,13 @@ struct Decoder {
         double base = (c == h.last) ? h.s : score;
         double ac_base = (c == h.last) ? h.ac_s : ac;
         if (base == kNegInf) continue;
+        int src_b = (c == h.last) ? h.bnode_s : bb;
+        double src_bs = (c == h.last) ? h.bsc_s : bbs;
         double lc = lp[c];
         if (c == sil) {
           if (h.node == 0) {
             merge(h.word_node, 0, sil, kNegInf, base + scale * lc, kNegInf,
-                  ac_base + lc, h.lm_score);
+                  ac_base + lc, h.lm_score, 0, 0.0, src_b, src_bs);
           }
           const auto& ws = lex->words_at[h.node];
           if (!ws.empty()) {
@@ -549,8 +672,12 @@ struct Decoder {
               int wn = ArenaNode(ws[j], h.word_node);
               // swap lookahead for the true LM score; re-enter root lookahead
               double la_adj = la[0] - la[h.node];
-              merge(wn, 0, sil, kNegInf, base + scale * lc + wlp + la_adj,
-                    kNegInf, ac_base + lc, h.lm_score + wlp);
+              double ns_new = base + scale * lc + wlp + la_adj;
+              int arc = 0;
+              if (rec) arc = LatClose(src_b, wn, ws[j], ns_new - src_bs);
+              merge(wn, 0, sil, kNegInf, ns_new,
+                    kNegInf, ac_base + lc, h.lm_score + wlp,
+                    0, 0.0, arc, ns_new);
             }
           }
         } else {
@@ -558,7 +685,7 @@ struct Decoder {
           if (child < 0) continue;
           merge(h.word_node, child, c, kNegInf,
                 base + scale * lc + (la[child] - la[h.node]), kNegInf,
-                ac_base + lc, h.lm_score);
+                ac_base + lc, h.lm_score, 0, 0.0, src_b, src_bs);
         }
       }
     }
@@ -578,6 +705,7 @@ struct Decoder {
         ranked.pop_back();
     }
     hyps.swap(ranked);
+    ++step_idx;  // counts Step calls incl. re-inserted blank frames
   }
 
   void Decode(const float* logprobs, int T, int C) {
@@ -645,16 +773,29 @@ struct Decoder {
       int word_node;
       int extra;
     };
+    const bool rec =
+        !opts.sum_mode && (opts.lattice_nbest || opts.ngram_key);
+    lat_final.clear();
     std::vector<Cand> cands;
     int ctx[8];
     int ctx_len;
     for (const Hyp& h : hyps) {
       double score = h.Score(opts.sum_mode);
       if (score == kNegInf) continue;
+      int bb;
+      double bbs;
+      if (h.s >= h.ns) {
+        bb = h.bnode_s;
+        bbs = h.bsc_s;
+      } else {
+        bb = h.bnode_ns;
+        bbs = h.bsc_ns;
+      }
       if (h.node == 0) {
         Context(h.word_node, ctx, &ctx_len);
         double e = CachedLogP(ctx, ctx_len, lm->eos);
         cands.push_back({score + e, h.Ac(), h.lm_score + e, h.word_node, -1});
+        if (rec) lat_final.push_back({bb, -1, score + e - bbs});
       } else {
         const auto& ws = lex->words_at[h.node];
         Context(h.word_node, ctx, &ctx_len);
@@ -674,9 +815,12 @@ struct Decoder {
           double la_adj = la[0] - la[h.node];
           cands.push_back({score + wlp + la_adj + e, h.Ac(),
                            h.lm_score + wlp + e, h.word_node, ws[j]});
+          if (rec)
+            lat_final.push_back({bb, ws[j], score + wlp + la_adj + e - bbs});
         }
       }
     }
+    if (opts.lattice_nbest && !opts.sum_mode) return FinalizeLattice();
     // Unpruned-LM rescoring over the candidate set: replace each candidate's
     // decode-LM score with the unpruned LM's full-sentence score and re-rank
     // — the n-best analogue of the reference's lattice −G_pruned/+G_unpruned
@@ -707,6 +851,125 @@ struct Decoder {
       if (s.empty() || seen.count(s)) continue;
       seen[s] = true;
       finalized_.push_back({s, c.ac, c.lms});
+    }
+    has_final_ = true;
+    return finalized_;
+  }
+
+  // k-best distinct word sequences over the recorded provenance graph
+  // (mirrors decode/lattice.py LatticeGraph.kbest; the reference analogue
+  // is ShortestPath over the determinized lattice,
+  // ctc_wfst_beam_search.cc:123-160). Scores: rank = scale*ac + lm exactly;
+  // lm recomputed per sequence so Result carries the same (ac, lm) split.
+  const std::vector<Result>& FinalizeLattice() {
+    const int k = opts.nbest;
+    const int n = static_cast<int>(lat_frame.size());
+    struct Entry {
+      double s;
+      int ei;   // edge index in node (-1 = start)
+      int r;    // rank in src node's list
+    };
+    std::vector<std::vector<Entry>> best(n);
+    best[0] = {{0.0, -1, -1}};
+    std::vector<Entry> cand;
+    for (int nid = 1; nid < n; ++nid) {
+      cand.clear();
+      const auto& edges = lat_in[nid];
+      for (int ei = 0; ei < static_cast<int>(edges.size()); ++ei) {
+        const auto& bsrc = best[edges[ei].src];
+        for (int r = 0; r < static_cast<int>(bsrc.size()); ++r)
+          cand.push_back({bsrc[r].s + edges[ei].w, ei, r});
+      }
+      std::sort(cand.begin(), cand.end(),
+                [](const Entry& a, const Entry& b) { return a.s > b.s; });
+      if (static_cast<int>(cand.size()) > k) cand.resize(k);
+      best[nid] = cand;
+    }
+    struct FinalCand {
+      double s;
+      int fi;
+      int r;
+    };
+    std::vector<FinalCand> finals;
+    for (int fi = 0; fi < static_cast<int>(lat_final.size()); ++fi) {
+      const auto& f = lat_final[fi];
+      const auto& bsrc = best[f.src];
+      for (int r = 0; r < static_cast<int>(bsrc.size()); ++r)
+        finals.push_back({bsrc[r].s + f.w, fi, r});
+    }
+    std::sort(finals.begin(), finals.end(),
+              [](const FinalCand& a, const FinalCand& b) { return a.s > b.s; });
+
+    struct Out {
+      double rank;
+      double lms;
+      std::vector<int> words;
+    };
+    std::vector<Out> outs;
+    std::unordered_map<std::string, bool> seen;
+    int ctx[8];
+    int ctx_len;
+    for (const auto& fc : finals) {
+      if (static_cast<int>(outs.size()) >= k) break;
+      const auto& f = lat_final[fc.fi];
+      std::vector<int> words;
+      int cur = f.src, r = fc.r;
+      bool ok = true;
+      while (cur != 0) {
+        if (r >= static_cast<int>(best[cur].size())) {
+          ok = false;
+          break;
+        }
+        const Entry& e = best[cur][r];
+        const LatEdge& edge = lat_in[cur][e.ei];
+        if (edge.word >= 0) words.push_back(edge.word);
+        cur = edge.src;
+        r = e.r;
+      }
+      if (!ok) continue;
+      std::reverse(words.begin(), words.end());
+      if (f.word >= 0) words.push_back(f.word);
+      if (words.empty()) continue;
+      std::string s = Sentence(words);
+      if (seen.count(s)) continue;
+      seen[s] = true;
+      // exact LM of the sequence (BOS-conditioned + </s>)
+      double lms = 0.0;
+      ctx[0] = lm->bos;
+      ctx_len = 1;
+      for (int w : words) {
+        lms += CachedLogP(ctx, ctx_len, w) + opts.length_penalty;
+        if (ctx_len == lm->order) {  // keep the last order-1 ids
+          for (int i = 1; i < ctx_len; ++i) ctx[i - 1] = ctx[i];
+          --ctx_len;
+        }
+        ctx[ctx_len++] = w;
+      }
+      lms += CachedLogP(ctx, ctx_len, lm->eos);
+      outs.push_back({fc.s, lms, std::move(words)});
+    }
+    // unpruned-LM rescoring over the lattice list (same semantics as the
+    // pool rescore above)
+    if (rescore_lm != nullptr) {
+      for (Out& o : outs) {
+        std::vector<int> rs;
+        rs.reserve(o.words.size());
+        for (int w : o.words) {
+          auto it = rescore_lm->word_ids.find(lex->out_words[w]);
+          rs.push_back(it == rescore_lm->word_ids.end() ? -1 : it->second);
+        }
+        double lm_new = rescore_lm->SentenceLogP(rs) +
+                        opts.length_penalty * static_cast<double>(o.words.size());
+        o.rank += lm_new - o.lms;
+        o.lms = lm_new;
+      }
+      std::sort(outs.begin(), outs.end(),
+                [](const Out& a, const Out& b) { return a.rank > b.rank; });
+    }
+    finalized_.clear();
+    for (const Out& o : outs) {
+      finalized_.push_back({Sentence(o.words),
+                            (o.rank - o.lms) / opts.acoustic_scale, o.lms});
     }
     has_final_ = true;
     return finalized_;
@@ -800,6 +1063,18 @@ void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
   o.max_homophones = max_homophones;
   o.first_beam = first_beam;
   o.sum_mode = sum_mode != 0;
+}
+
+// Lattice n-best controls (decode/lattice.py semantics): ngram_key switches
+// the hypothesis state to the LM context (Kaldi token-passing state space),
+// lattice_nbest routes Finalize through the provenance-graph k-best,
+// lattice_beam is the merged-alternative retention margin.
+void b2t_set_lattice_opt(void* p, int ngram_key, int lattice_nbest,
+                         double lattice_beam) {
+  auto& o = static_cast<B2TDecoder*>(p)->dec->opts;
+  o.ngram_key = ngram_key != 0;
+  o.lattice_nbest = lattice_nbest != 0;
+  o.lattice_beam = lattice_beam;
 }
 
 void b2t_decode(void* p, const float* logprobs, int T, int C) {

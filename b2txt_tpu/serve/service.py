@@ -99,11 +99,22 @@ def _make_searcher(
     """Construct the requested searcher backend (all three share the
     reset/decode/finish_decoding/result/set_opt protocol and are
     cross-parity-tested — tests/test_searcher_crosscheck.py)."""
+    # lattice n-best (deep candidate lists from the provenance graph —
+    # decode/lattice.py) requires the Kaldi-style ngram state space; the
+    # device searcher decodes the pool only (the production deep-nbest path
+    # is the C++ lattice on the host core, like the reference's)
+    state_key = "ngram" if config.lattice_nbest else "history"
     if backend == "python":
-        return LexiconBeamSearch(lexicon, lm, config)
+        return LexiconBeamSearch(lexicon, lm, config, state_key=state_key)
     if backend == "device":
         from ..decode.lmbeam_jax import DeviceLexiconBeamSearch
 
+        if config.lattice_nbest:
+            raise ValueError(
+                "lattice_nbest needs the 'native' (C++ lattice, like the "
+                "reference's) or 'python' backend; the device searcher "
+                "returns the beam pool"
+            )
         return DeviceLexiconBeamSearch(lexicon, lm, config)
     if backend == "native":
         from ..runtime import NativeLexiconBeamSearch
@@ -125,7 +136,8 @@ def _make_searcher(
                         for pron in lexicon.prons[wid]:
                             phones = " ".join(LOGIT_TO_PHONEME[p] for p in pron)
                             f.write(f"{w.upper()}  {phones}\n")
-        return NativeLexiconBeamSearch(arpa_path, lexicon_path, config)
+        return NativeLexiconBeamSearch(arpa_path, lexicon_path, config,
+                                       state_key=state_key)
     raise ValueError(
         f"searcher_backend must be 'python', 'native' or 'device', got {backend!r}"
     )

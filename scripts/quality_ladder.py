@@ -66,6 +66,12 @@ def main() -> None:
     p.add_argument("--beam_width", type=int, default=48)
     p.add_argument("--nbest", type=int, default=100)
     p.add_argument("--max_homophones", type=int, default=4)
+    p.add_argument("--lattice", action="store_true",
+                   help="also decode with the C++ lattice n-best "
+                        "(ngram-keyed, wide beam) — the deep-candidate-list "
+                        "path tied to the reference's lattice ShortestPath "
+                        "(ctc_wfst_beam_search.cc:123-160)")
+    p.add_argument("--lattice_width", type=int, default=512)
     p.add_argument("--force_cpu", action="store_true")
     args = p.parse_args()
 
@@ -102,6 +108,13 @@ def main() -> None:
     native = NativeLexiconBeamSearch(arpa, lexp, cfg,
                                      max_homophones=args.max_homophones,
                                      rescore_arpa=arpa_unpruned)
+    lattice = None
+    if args.lattice:
+        lat_cfg = cfg.replace(beam_width=args.lattice_width,
+                              lattice_beam=12.0, lattice_nbest=True)
+        lattice = NativeLexiconBeamSearch(
+            arpa, lexp, lat_cfg, max_homophones=args.max_homophones,
+            rescore_arpa=arpa_unpruned, state_key="ngram")
     dev = DeviceLexiconBeamSearch(lex, lm, cfg,
                                   max_homophones=args.max_homophones,
                                   rescore_lm=lm_unpruned)
@@ -137,8 +150,18 @@ def main() -> None:
 
         row = {"gain": gain, "blank_bias": args.blank_bias,
                "utts": len(utts), "decode_frames": int(P)}
-        for name, res, dt in (("native", nat_results, nat_s),
-                              ("device", dev_results, dev_s)):
+        backends = [("native", nat_results, nat_s),
+                    ("device", dev_results, dev_s)]
+        if lattice is not None:
+            lat_results = []
+            t0 = time.perf_counter()
+            for lp in host_logits:
+                lattice.reset()
+                lattice.decode(lp)
+                lat_results.append(lattice.finish_decoding())
+            backends.append(
+                ("lattice", lat_results, time.perf_counter() - t0))
+        for name, res, dt in backends:
             correct, serr = BW.score_results(cfg, all_sents, res)
             wer, lo, hi = BW.aggregate_wer(all_sents, res)
             depth, oracle = pool_metrics(res, all_sents)

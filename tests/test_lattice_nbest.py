@@ -159,6 +159,73 @@ def test_finish_decoding_lattice_mode(world):
     assert len({c.sentence for c in out}) == len(out)
 
 
+def test_native_lattice_matches_python_oracle(world, tmp_path):
+    """The C++ lattice (runtime/decoder.cc FinalizeLattice — the production
+    deep-nbest path, mirroring the reference's C++ lattice ShortestPath)
+    must reproduce the python oracle's list: same depth, same sentences,
+    scores within float32 tolerance, and no forced-oracle overestimates."""
+    import b2txt_tpu.lm.lexicon as L
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+    from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
+
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=40,
+                       beam_width=256, lattice_beam=10.0, first_beam_size=8,
+                       sum_mode=False, lattice_nbest=True)
+    py = LexiconBeamSearch(lex, lm, cfg, max_homophones=4, state_key="ngram")
+    arpa = str(tmp_path / "lm.arpa")
+    lm.to_arpa(arpa)
+    lexp = str(tmp_path / "lex.txt")
+    with open(lexp, "w") as f:
+        for w, i in lex.word_ids.items():
+            for pron in lex.prons[i]:
+                f.write(f"{w.upper()}  "
+                        f"{' '.join(LOGIT_TO_PHONEME[p] for p in pron)}\n")
+    nat = NativeLexiconBeamSearch(arpa, lexp, cfg, max_homophones=4,
+                                  state_key="ngram")
+    for sent in sents[:4]:
+        ids = lex.sentence_to_phonemes(sent)
+        lp = ctc_logprobs(rng, ids, noise=2.0)
+        py.reset()
+        py.decode(lp)
+        rp = py.finish_decoding()
+        nat.reset()
+        nat.decode(lp)
+        rn = nat.finish_decoding()
+        assert rp[0].sentence == rn[0].sentence
+        assert len(rp) == len(rn)
+        pd = {c.sentence: _rank(cfg, c) for c in rp}
+        nd = {c.sentence: _rank(cfg, c) for c in rn}
+        assert set(pd) == set(nd)
+        for s in pd:
+            assert abs(pd[s] - nd[s]) < 1e-4, (s, pd[s], nd[s])
+        for c in rn[:10]:
+            f = forced_rank(lp, [wid[w] for w in c.sentence.split()],
+                            lex, lm, cfg)
+            assert _rank(cfg, c) <= f + 1e-4
+
+
+def test_service_lattice_mode(world, tmp_path):
+    """DecoderService(config.lattice_nbest) builds ngram-keyed searchers;
+    the device backend refuses with a clear message."""
+    from b2txt_tpu.serve.service import DecoderService
+
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=30,
+                       beam_width=256, lattice_beam=10.0, first_beam_size=8,
+                       sum_mode=False, lattice_nbest=True)
+    svc = DecoderService(lex, lm, cfg, searcher_backend="native")
+    assert svc.searcher.state_key == "ngram"
+    ids = lex.sentence_to_phonemes(sents[0])
+    lp = ctc_logprobs(rng, ids, noise=2.0)
+    svc.reset()
+    out = svc.decode_utterance(lp)
+    assert out.sentence  # soft posteriors: top-1 need not be truth
+    assert len(out.nbest) > 5  # the deep lattice list reaches the output
+    with pytest.raises(ValueError, match="lattice_nbest"):
+        DecoderService(lex, lm, cfg, searcher_backend="device")
+
+
 def test_ngram_keying_top1_matches_history_keying(world):
     """state_key='ngram' (Kaldi token-passing state space) must not change
     the decoded top-1 on peaked posteriors — the LM context is a sufficient
