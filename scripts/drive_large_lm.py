@@ -31,17 +31,24 @@ def rss_bytes() -> int:
     return 0
 
 
-def write_arpa(path: str, vocab: int, counts: "list[int]") -> int:
+def write_arpa(path: str, vocab: int, counts: "list[int]",
+               words: "list[str] | None" = None) -> int:
     """Unique synthetic n-grams up to order len(counts)+1: 1-grams = vocab;
     higher orders enumerate word chains w_i, w_{i+1+d}, w_{i+2+d+e}, ... by
     deterministic successor offsets (unique by construction), so the decoder
     walking a chain w_s w_{s+1} w_{s+2} … hits real max-order entries while
     off-chain queries exercise the backoff path. counts = [n2, n3, n4, n5…].
+    ``words`` overrides the synthetic vocabulary (e.g. the real CMUdict word
+    list for the production-scale dryrun).
 
     Reference analogue: the production 5-gram held in ~300 GB SRILM RAM
     (README.md:101, language_model/README.md:47)."""
     rng = np.random.default_rng(0)
-    words = [f"w{i:06d}" for i in range(vocab)]
+    if words is None:
+        words = [f"w{i:06d}" for i in range(vocab)]
+    else:
+        words = list(words)[:vocab]
+        vocab = len(words)
     order = len(counts) + 1
     t0 = time.time()
     written = [0] * (order + 1)  # per gram order

@@ -173,3 +173,45 @@ def test_decode_quality_and_pool_rescue(world):
     # pruning failures
     assert homophone_misses >= int(0.8 * misses)
     assert exact >= int(0.3 * n)
+
+
+def test_close_probe_top_guard(world):
+    """Regression net for the close_probe_top approximation (VERDICT r4
+    weak #6): probing grams for only the top-C unigram-ranked homophones is
+    byte-identical WITH the on-chip pool rescore attached, because tail
+    slots carry the exact backoff-chain score and the rescore restores
+    exact scores on survivors. This guard decodes randomized homophone-
+    dense utterances with exact probing vs close_top=2 and fails on any
+    quality divergence beyond score ties — detecting a future world/config
+    where the approximation silently costs quality."""
+    lexicon, lm, lm_full, arpa, arpa_full, lexp, utts, stats = world
+    cfg = DecodeConfig(**CFG)
+    exact = DeviceLexiconBeamSearch(lexicon, lm, cfg, max_homophones=H,
+                                    rescore_lm=lm_full)
+    capped = DeviceLexiconBeamSearch(lexicon, lm, cfg, max_homophones=H,
+                                     rescore_lm=lm_full, close_probe_top=2)
+
+    lens = np.array([lp.shape[0] for _, lp in utts], np.int32)
+    T = int(lens.max())
+    batch = np.full((len(utts), T, 41), -20.0, np.float32)
+    for i, (_, lp) in enumerate(utts):
+        batch[i, : lp.shape[0]] = lp
+    out_e = exact.decode_batch(batch, lens)
+    out_c = capped.decode_batch(batch, lens)
+
+    def total(r):
+        return cfg.acoustic_scale * r.ac_score + r.lm_score
+
+    for i, (sent, _) in enumerate(utts):
+        e, c = out_e[i], out_c[i]
+        assert e and c
+        # top-1: same sentence, or an exact-score homophone tie
+        assert e[0].sentence == c[0].sentence or abs(
+            total(e[0]) - total(c[0])
+        ) < 1e-3, f"utt {i}: exact={e[0]!r} capped={c[0]!r}"
+        # the rescored pools must carry identical scores for shared
+        # sentences (the rescore restores exactness on survivors)
+        de = {r.sentence: total(r) for r in e}
+        dc = {r.sentence: total(r) for r in c}
+        for s in set(de) & set(dc):
+            assert abs(de[s] - dc[s]) < 1e-3, (i, s, de[s], dc[s])
