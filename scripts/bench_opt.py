@@ -91,6 +91,12 @@ def main():
     p.add_argument("--context_words", type=int, default=0,
                    help="stage D: conversational-context rescore bench — "
                         "prefix-KV vs concatenated at this context length")
+    p.add_argument("--lattice", action="store_true",
+                   help="stage E: quality-max finalize — the C++ LATTICE "
+                        "n-best (deep candidate lists, decode/lattice.py) "
+                        "on the host core feeding the on-chip OPT rescore; "
+                        "the reference's lattice-ShortestPath -> OPT path")
+    p.add_argument("--lattice_width", type=int, default=256)
     args = p.parse_args()
 
     from b2txt_tpu.decode.opt_lm import OPTConfig, OPTRescorer, init_params
@@ -250,6 +256,39 @@ def main():
         "world_build_s": round(build_s, 1),
         "warm_s": round(warm_s, 1),
     }), flush=True)
+
+    if args.lattice:
+        # ---- stage E: quality-max finalize — host C++ LATTICE n-best (deep
+        # candidate lists, ngram-keyed token passing) + unpruned rescore +
+        # augment + OPT blend; serial path with pipelined finalize (the LLM
+        # forward of utterance i overlaps utterance i+1's host beam search)
+        lat_cfg = dcfg.replace(beam_width=args.lattice_width,
+                               lattice_beam=10.0, lattice_nbest=True)
+        svc_lat = DecoderService(lex, lm, lat_cfg, rescore_lm=lm_unpruned,
+                                 llm=resc, channel_order="model",
+                                 searcher_backend="native",
+                                 arpa_path=arpa, lexicon_path=lexp)
+        host_lp = []
+        for (lp_dev, _pl), n_real in zip(batches, sizes):
+            arr = np.asarray(lp_dev)
+            host_lp.extend(arr[i] for i in range(n_real))
+        svc_lat.decode_utterances(host_lp[:2])  # warm/compile
+        t0 = time.perf_counter()
+        outs_l = svc_lat.decode_utterances(host_lp)
+        wall_l = time.perf_counter() - t0
+        correct_l = sum(o.sentence == s for o, s in zip(outs_l, sents))
+        depths = [len(o.nbest) for o in outs_l]
+        print(json.dumps({
+            "stage": "E_lattice_finalize_pipeline",
+            "utts": len(sents),
+            "lattice_width": args.lattice_width,
+            "finalize_sentences_per_s": round(len(sents) / wall_l, 2),
+            "s_per_sentence": round(wall_l / len(sents), 3),
+            "exact": f"{correct_l}/{len(sents)}",
+            "mean_nbest_depth": round(float(np.mean(depths)), 1),
+            "includes": "host C++ lattice n-best + unpruned rescore + "
+                        "augment_nbest + OPT-6.7b alpha-blend (pipelined)",
+        }), flush=True)
 
 
 if __name__ == "__main__":
