@@ -266,6 +266,7 @@ class DeviceLexiconBeamSearch:
         dev_lm: Optional[DeviceNGram] = None,
         rescore_lm=None,
         close_probe_top: Optional[int] = None,
+        state_key: str = "history",
     ):
         """Pass either a host NGramLM (packed onto the device here) or a
         prebuilt DeviceNGram (``dev_lm`` — the from_arpa_streaming path for
@@ -285,6 +286,17 @@ class DeviceLexiconBeamSearch:
             lm, lexicon
         )
         self.close_top = close_probe_top
+        # hypothesis state space: "history" merges only identical full word
+        # histories (the legacy contract); "ngram" truncates identity to the
+        # LM context hash (Kaldi token-passing state space) — different
+        # histories merge, freeing beam slots for genuine alternatives.
+        # Viterbi-only: under sum_mode, merging different sentences would
+        # pool their path mass incorrectly.
+        if state_key not in ("history", "ngram"):
+            raise ValueError(f"state_key must be history|ngram: {state_key}")
+        if state_key == "ngram" and self.config.sum_mode:
+            raise ValueError("state_key='ngram' requires sum_mode=False")
+        self.state_key = state_key
         # LM lookahead smearing over the trie (see lmbeam.py) — ranking only,
         # cancels at word close.
         if lm is not None:
@@ -572,9 +584,17 @@ class DeviceLexiconBeamSearch:
             ],
             axis=2,
         ) if CW > 1 else jnp.maximum(wids, 0)[:, :, None]
-        wh1, wh2 = hash_extend_jnp(
-            state.h1[:, None], state.h2[:, None], wids + V + 2
-        )
+        if self.state_key == "ngram":
+            # identity = the new LM context window (hypotheses with
+            # different full histories but the same last order−1 words
+            # merge — the Kaldi token-passing state space)
+            from ..lm.device_ngram import hash_ctx_jnp
+
+            wh1, wh2 = hash_ctx_jnp(new_ctx)
+        else:
+            wh1, wh2 = hash_extend_jnp(
+                state.h1[:, None], state.h2[:, None], wids + V + 2
+            )
         ck1, ck2 = sort_keys(
             wh1, wh2, jnp.zeros((K, H), jnp.int32), jnp.int32(sil)
         )
@@ -639,10 +659,18 @@ class DeviceLexiconBeamSearch:
             axis=-1,
         )  # (N, 8 + CW)
 
-        k1s, k2s, ss, nss, acss, acnss, perm = jax.lax.sort(
-            (cand["k1"], cand["k2"], cand["s"], cand["ns"],
+        # third sort key = the candidate's Viterbi rank, so each segment's
+        # LAST element (the representative whose payload the winner gather
+        # takes) is the segment's best path. Under history keying all
+        # payload fields are equal within a segment so this is free either
+        # way; under ngram keying different word histories share a segment
+        # and the representative's (parent, word, lm, ctx) MUST be the
+        # winner's (extra lax.sort operands measured nearly free, DESIGN.md)
+        mkey = jnp.maximum(cand["s"], cand["ns"])
+        k1s, k2s, _mks, ss, nss, acss, acnss, perm = jax.lax.sort(
+            (cand["k1"], cand["k2"], mkey, cand["s"], cand["ns"],
              cand["ac_s"], cand["ac_ns"], jnp.arange(N, dtype=jnp.int32)),
-            num_keys=2,
+            num_keys=3,
         )
 
         starts = jnp.concatenate(

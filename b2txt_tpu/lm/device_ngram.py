@@ -91,6 +91,19 @@ def hash_extend_jnp(h1: jax.Array, h2: jax.Array, wid: jax.Array):
     return _mix_jnp(h1, c, SEED1), _mix_jnp(h2, c, SEED2)
 
 
+def hash_ctx_jnp(ctx: jax.Array):
+    """64-bit identity hash of an LM-context window (..., CW) — the ngram
+    state keying of the device searcher (Kaldi token-passing state space:
+    hypotheses sharing the last order−1 words merge; see decode/lattice.py
+    on why that is the lattice-depth mechanism)."""
+    shape = ctx.shape[:-1]
+    h1 = jnp.full(shape, jnp.uint32(0x811C9DC5))
+    h2 = jnp.full(shape, jnp.uint32(0x01000193))
+    for i in range(ctx.shape[-1]):  # CW is static and small (order-1)
+        h1, h2 = hash_extend_jnp(h1, h2, ctx[..., i])
+    return h1, h2
+
+
 @dataclass
 class BucketTable:
     """Bucketed open hash table: (key1, key2) uint32 pair → (value, backoff).

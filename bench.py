@@ -411,6 +411,14 @@ def main() -> None:
                         "errors; the misses are the world's counts-equal "
                         "homophone ties). K=32 loses the frontier: 511/512. "
                         "See docs/ROUND4.md §11")
+    p.add_argument("--state_key", default="history",
+                   choices=["history", "ngram"],
+                   help="device-searcher hypothesis state space: 'ngram' = "
+                        "Kaldi token-passing identity (LM-context hash; "
+                        "different histories merge, freeing beam slots — "
+                        "measured to reach K=48-history quality at K=16 on "
+                        "the adversarial world); 'history' = the legacy "
+                        "full-history contract")
     p.add_argument("--close_top", type=int, default=None,
                    help="probe the LM for only the top-C unigram-ranked "
                         "homophones per close (device searcher; tail slots "
@@ -553,7 +561,8 @@ def main() -> None:
     t0 = time.perf_counter()
     dev = DeviceLexiconBeamSearch(lex, lm, cfg, max_homophones=max_h,
                                   rescore_lm=lm_unpruned,
-                                  close_probe_top=args.close_top)
+                                  close_probe_top=args.close_top,
+                                  state_key=args.state_key)
     dev_build_s = time.perf_counter() - t0
 
     # warm/compile the connected path end to end
@@ -648,6 +657,7 @@ def main() -> None:
         "acoustic_scale": cfg.acoustic_scale,
         "max_homophones": max_h,
         "close_probe_top": args.close_top,
+        "state_key": args.state_key,
         "rescore": {
             "device": f"unpruned-{args.order}gram pool rescore ON-CHIP",
             "native": f"unpruned-{args.order}gram pool rescore (host)",

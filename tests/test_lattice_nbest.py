@@ -226,6 +226,47 @@ def test_service_lattice_mode(world, tmp_path):
         DecoderService(lex, lm, cfg, searcher_backend="device")
 
 
+def test_device_ngram_keying_parity(world):
+    """DeviceLexiconBeamSearch(state_key='ngram') — the Kaldi token-passing
+    state space on chip (LM-context hash identity; the winner-payload sort
+    key keeps (parent, word, lm, ctx) consistent with the merged maximum) —
+    must agree with the python ngram-keyed oracle's top-1 on peaked
+    posteriors, and with the history-keyed device searcher."""
+    import jax
+
+    from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
+
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=10,
+                       beam_width=32, first_beam_size=8, sum_mode=False)
+    dev_n = DeviceLexiconBeamSearch(lex, lm, cfg, max_homophones=4,
+                                    state_key="ngram")
+    dev_h = DeviceLexiconBeamSearch(lex, lm, cfg, max_homophones=4)
+    py_n = LexiconBeamSearch(lex, lm, cfg, max_homophones=4,
+                             state_key="ngram")
+    utts = []
+    for sent in sents[:6]:
+        ids = lex.sentence_to_phonemes(sent)
+        utts.append((sent, ctc_logprobs(rng, ids, noise=0.4)))
+    lens = np.array([lp.shape[0] for _, lp in utts], np.int32)
+    T = int(lens.max())
+    batch = np.full((len(utts), T, 41), -20.0, np.float32)
+    for i, (_, lp) in enumerate(utts):
+        batch[i, : lp.shape[0]] = lp
+    out_n = dev_n.decode_batch(batch, lens)
+    out_h = dev_h.decode_batch(batch, lens)
+    for i, (sent, lp) in enumerate(utts):
+        py_n.reset()
+        py_n.decode(lp)
+        rp = py_n.finish_decoding()
+        assert out_n[i][0].sentence == rp[0].sentence == sent
+        assert out_h[i][0].sentence == sent
+    # sum_mode is rejected (merging different sentences would pool mass)
+    with pytest.raises(ValueError, match="sum_mode"):
+        DeviceLexiconBeamSearch(lex, lm, cfg.replace(sum_mode=True),
+                                state_key="ngram")
+
+
 def test_ngram_keying_top1_matches_history_keying(world):
     """state_key='ngram' (Kaldi token-passing state space) must not change
     the decoded top-1 on peaked posteriors — the LM context is a sufficient
