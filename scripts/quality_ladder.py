@@ -65,7 +65,11 @@ def main() -> None:
     p.add_argument("--blank_bias", type=float, default=12.0)
     p.add_argument("--beam_width", type=int, default=48)
     p.add_argument("--nbest", type=int, default=100)
-    p.add_argument("--max_homophones", type=int, default=4)
+    p.add_argument("--max_homophones", type=int, default=None)
+    p.add_argument("--real_lexicon", action="store_true",
+                   help="sweep over the reference's ACTUAL CMUdict trie "
+                        "(bench.py --real_lexicon world)")
+    p.add_argument("--adversarial", action="store_true")
     p.add_argument("--lattice", action="store_true",
                    help="also decode with the C++ lattice n-best "
                         "(ngram-keyed, wide beam) — the deep-candidate-list "
@@ -94,8 +98,13 @@ def main() -> None:
     B, T = args.device_batch, args.bins
     gains = [float(g) for g in args.gains.split(",")]
 
+    max_h = args.max_homophones or (
+        6 if (args.adversarial or args.real_lexicon) else 4)
+    args.max_homophones = max_h
     (lex, lm, lm_unpruned, wl, arpa, arpa_unpruned, lexp, rng,
-     _) = BW.build_world(args.vocab, args.order)
+     _) = BW.build_world(args.vocab, args.order,
+                         adversarial=args.adversarial,
+                         real_lexicon=args.real_lexicon)
     utts = BW.make_planted_utts(lex, wl, rng, args.utts, T)
     batches = []
     for start in range(0, len(utts), B):
