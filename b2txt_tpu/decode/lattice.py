@@ -12,8 +12,9 @@ posteriors, scripts/quality_ladder.py) — far short of the reference's
 nbest=100 OPT-rescore input.
 
 This module restores lattice depth without FSTs, via a provenance GRAPH
-recorded during the search (LexiconBeamSearch(state_key="ngram",
-record_lattice=True)):
+recorded during the search (LexiconBeamSearch with state_key="ngram",
+config.lattice_nbest, or record_lattice=True; native: the same machinery in
+runtime/decoder.cc behind b2t_set_lattice_opt):
 
   * START node (id 0);
   * CLOSE nodes — a word boundary at frame t. All searchers are
@@ -245,45 +246,3 @@ def forced_rank(
         if v != NEG_INF:
             best = max(best, v + add)
     return float(best)
-
-
-def graph_from_device_records(
-    parents: np.ndarray,
-    words: np.ndarray,
-    scores: np.ndarray,
-    final_parents: np.ndarray,
-    final_words: np.ndarray,
-    final_scores: np.ndarray,
-    ctx: int,
-) -> LatticeGraph:
-    """One utterance's lattice from the device searcher's streamed per-frame
-    records: parents/words (T, K) = beam k's parent at t−1 and the word it
-    closed at t (−1 = none); scores (T, K) = cumulative rank. final_* per
-    pool candidate: source beam, end-closed word (−1 = none), final score.
-    Close-node recombination happens inside the graph; merge alternatives
-    are not streamed (the device lattice is close-event-only)."""
-    g = LatticeGraph(ctx)
-    T, K = parents.shape
-    bnode = np.zeros(K, np.int64)       # provenance node per beam
-    bscore = np.zeros(K, np.float64)    # boundary score per beam
-    for t in range(T):
-        p = parents[t]
-        src_node, src_score = bnode[p], bscore[p]
-        closed = np.nonzero(words[t] >= 0)[0]
-        bnode, bscore = src_node, src_score
-        if closed.size:
-            bnode = src_node.copy()
-            bscore = src_score.copy()
-            for kk in closed:
-                sc = float(scores[t, kk])
-                if not np.isfinite(sc):
-                    continue
-                nid = g.close(int(src_node[kk]), int(words[t, kk]), t,
-                              sc - float(src_score[kk]))
-                bnode[kk] = nid
-                bscore[kk] = sc
-    for fp, fw, fs in zip(final_parents, final_words, final_scores):
-        if np.isfinite(fs):
-            g.final(int(bnode[int(fp)]), int(fw),
-                    float(fs) - float(bscore[int(fp)]))
-    return g

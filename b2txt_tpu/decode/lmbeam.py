@@ -56,16 +56,25 @@ class LmHyp:
     Ranking score r = acoustic_scale·(acoustic) + lm, kept split into
     blank-ending (s) / non-blank-ending (ns) CTC components. ac_* track the
     unscaled acoustic part for DecodeResult-style reporting.
+
+    Under state_key='ngram' the two components may descend from DIFFERENT
+    full word histories (they share only the LM-context tail), so the word
+    history and cumulative LM are tracked PER COMPONENT — the Viterbi
+    readout (.words/.lm) follows the max component exactly, matching
+    Kaldi's one-path-per-token semantics. In history mode the pairs are
+    always equal.
     """
 
-    words: Tuple[int, ...] = ()
+    words_s: Tuple[int, ...] = ()
+    words_ns: Tuple[int, ...] = ()
     node: int = 0
     last: int = -1
     s: float = NEG_INF
     ns: float = NEG_INF
     ac_s: float = NEG_INF
     ac_ns: float = NEG_INF
-    lm: float = 0.0
+    lm_s: float = 0.0
+    lm_ns: float = 0.0
     # lattice provenance (Viterbi mode): graph node id each score component
     # descends from (0 = utterance start) + the component's score AT that
     # node, so edge weights are exact span costs (decode/lattice.py)
@@ -73,6 +82,14 @@ class LmHyp:
     barc_ns: int = 0
     bsc_s: float = 0.0
     bsc_ns: float = 0.0
+
+    @property
+    def words(self) -> Tuple[int, ...]:
+        return self.words_s if self.s >= self.ns else self.words_ns
+
+    @property
+    def lm(self) -> float:
+        return self.lm_s if self.s >= self.ns else self.lm_ns
 
     @property
     def score(self) -> float:
@@ -109,6 +126,7 @@ class LexiconBeamSearch:
         max_homophones: int = 4,
         lm_lookahead: bool = True,
         state_key: str = "history",
+        record_lattice: Optional[bool] = None,
     ):
         self.lexicon = lexicon
         self.lm = lm
@@ -126,8 +144,20 @@ class LexiconBeamSearch:
         # exact either way (the LM context is a sufficient statistic).
         if state_key not in ("history", "ngram"):
             raise ValueError(f"state_key must be history|ngram: {state_key}")
+        if state_key == "ngram" and self.config.sum_mode:
+            # merging different word histories under log-sum would pool
+            # distinct sentences' path mass — Viterbi only (as on device)
+            raise ValueError("state_key='ngram' requires sum_mode=False")
         self.state_key = state_key
         self._ctx_len = max(getattr(lm, "order", 2) - 1, 1)
+        # lattice provenance recording costs a graph append per close and a
+        # node per competitive merge — on by default only when the lattice
+        # can be consumed (mirrors decoder.cc's gating); pass True to use
+        # nbest_lattice() with history keying
+        if record_lattice is None:
+            record_lattice = (self.config.lattice_nbest
+                              or state_key == "ngram")
+        self.record_lattice = record_lattice
         # LM lookahead smearing over the trie: partial words carry the best
         # reachable unigram score so they compete fairly with closed words
         # (cancels exactly at word close — net final scores are unchanged).
@@ -157,6 +187,8 @@ class LexiconBeamSearch:
 
     def set_opt(self, config: DecodeConfig) -> None:
         """Runtime reconfiguration (parity: BrainSpeechDecoder::SetOpt)."""
+        if self.state_key == "ngram" and config.sum_mode:
+            raise ValueError("state_key='ngram' requires sum_mode=False")
         self.config = config
 
     def reset(self) -> None:
@@ -196,46 +228,47 @@ class LexiconBeamSearch:
             cur.ac_s = max(cur.ac_s, hyp.ac_s)
             cur.ac_ns = max(cur.ac_ns, hyp.ac_ns)
             return
-        # Viterbi: per-component max; a finite loser from a DIFFERENT word
-        # boundary becomes a lattice merge ε-edge when within lattice_beam
-        # of the winner (Kaldi's lattice pruning margin,
-        # lattice-faster-decoder.h) — the depth mechanism of the reference's
-        # determinized lattice
+        # Viterbi: per-component max — each component keeps its best path's
+        # score, acoustic, word history, LM and boundary provenance (Kaldi
+        # one-path-per-token semantics, exact under either state keying).
+        # A finite loser from a DIFFERENT word boundary becomes a lattice
+        # merge ε-edge when within lattice_beam of the winner (Kaldi's
+        # lattice pruning margin, lattice-faster-decoder.h) — the depth
+        # mechanism of the reference's determinized lattice
         lb = self.config.lattice_beam
         t = self._step_idx
+        rec = self.record_lattice
 
-        def comp(win_v, win_ac, win_b, win_bs, lose_v, lose_b, lose_bs):
-            if (lose_v != NEG_INF and win_b != lose_b
+        def comp(win_v, win_ac, win_b, win_bs, win_w, win_l,
+                 lose_v, lose_b, lose_bs):
+            if (rec and lose_v != NEG_INF and win_b != lose_b
                     and win_v - lose_v <= lb):
                 m = self._graph.merge(
                     t, [(win_b, win_v - win_bs), (lose_b, lose_v - lose_bs)]
                 )
-                return win_v, win_ac, m, win_v
-            return win_v, win_ac, win_b, win_bs
+                return win_v, win_ac, m, win_v, win_w, win_l
+            return win_v, win_ac, win_b, win_bs, win_w, win_l
 
-        if self.state_key == "ngram" and (
-            max(hyp.s, hyp.ns) > max(cur.s, cur.ns)
-        ):
-            # different full histories can share a key: the readout fields
-            # follow the overall-best path (the lattice readout is exact
-            # regardless — scores/words come from the graph)
-            cur.words, cur.lm = hyp.words, hyp.lm
         if hyp.s > cur.s:
-            cur.s, cur.ac_s, cur.barc_s, cur.bsc_s = comp(
-                hyp.s, hyp.ac_s, hyp.barc_s, hyp.bsc_s,
-                cur.s, cur.barc_s, cur.bsc_s)
+            (cur.s, cur.ac_s, cur.barc_s, cur.bsc_s, cur.words_s,
+             cur.lm_s) = comp(
+                hyp.s, hyp.ac_s, hyp.barc_s, hyp.bsc_s, hyp.words_s,
+                hyp.lm_s, cur.s, cur.barc_s, cur.bsc_s)
         elif cur.s != NEG_INF:
-            cur.s, cur.ac_s, cur.barc_s, cur.bsc_s = comp(
-                cur.s, cur.ac_s, cur.barc_s, cur.bsc_s,
-                hyp.s, hyp.barc_s, hyp.bsc_s)
+            (cur.s, cur.ac_s, cur.barc_s, cur.bsc_s, cur.words_s,
+             cur.lm_s) = comp(
+                cur.s, cur.ac_s, cur.barc_s, cur.bsc_s, cur.words_s,
+                cur.lm_s, hyp.s, hyp.barc_s, hyp.bsc_s)
         if hyp.ns > cur.ns:
-            cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns = comp(
-                hyp.ns, hyp.ac_ns, hyp.barc_ns, hyp.bsc_ns,
-                cur.ns, cur.barc_ns, cur.bsc_ns)
+            (cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns, cur.words_ns,
+             cur.lm_ns) = comp(
+                hyp.ns, hyp.ac_ns, hyp.barc_ns, hyp.bsc_ns, hyp.words_ns,
+                hyp.lm_ns, cur.ns, cur.barc_ns, cur.bsc_ns)
         elif cur.ns != NEG_INF:
-            cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns = comp(
-                cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns,
-                hyp.ns, hyp.barc_ns, hyp.bsc_ns)
+            (cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns, cur.words_ns,
+             cur.lm_ns) = comp(
+                cur.ns, cur.ac_ns, cur.barc_ns, cur.bsc_ns, cur.words_ns,
+                cur.lm_ns, hyp.ns, hyp.barc_ns, hyp.bsc_ns)
 
     def _lm_context(self, words: Tuple[int, ...]) -> List[str]:
         # Sentence-start conditioning: G.fst decoding starts in the <s>
@@ -261,26 +294,26 @@ class LexiconBeamSearch:
             )
             fb_thresh = vals[fb - 1]
 
-        record = not cfg.sum_mode  # lattice provenance is Viterbi-only
+        # lattice provenance is Viterbi-only and opt-in (see __init__)
+        record = self.record_lattice and not cfg.sum_mode
         t_idx = self._step_idx
         for h in self.hyps.values():
-            # h.words is the FULL history (the dict key may be the truncated
-            # ngram state under state_key="ngram")
-            words, node, last = h.words, h.node, h.last
+            node, last = h.node, h.last
             score = self._score(h)
             ac = h.ac_score
-            # boundary provenance of the max component (Viterbi)
+            # max-component provenance/lineage (Viterbi); in sum mode the
+            # components share lineage by construction
             if h.s >= h.ns:
-                bb, bbs = h.barc_s, h.bsc_s
+                bb, bbs, bw, bl = h.barc_s, h.bsc_s, h.words_s, h.lm_s
             else:
-                bb, bbs = h.barc_ns, h.bsc_ns
+                bb, bbs, bw, bl = h.barc_ns, h.bsc_ns, h.words_ns, h.lm_ns
             # ---- blank: stay ----
             lb = float(lp[self.blank])
             self._merge(
                 next_hyps,
-                LmHyp(words, node, last,
+                LmHyp(bw, bw, node, last,
                       s=score + scale * lb, ns=NEG_INF,
-                      ac_s=ac + lb, ac_ns=NEG_INF, lm=h.lm,
+                      ac_s=ac + lb, ac_ns=NEG_INF, lm_s=bl, lm_ns=bl,
                       barc_s=bb, bsc_s=bbs),
             )
             # ---- repeat of last symbol (absorbed, non-blank path) ----
@@ -288,9 +321,10 @@ class LexiconBeamSearch:
                 lc = float(lp[last])
                 self._merge(
                     next_hyps,
-                    LmHyp(words, node, last,
+                    LmHyp(h.words_ns, h.words_ns, node, last,
                           s=NEG_INF, ns=h.ns + scale * lc,
-                          ac_s=NEG_INF, ac_ns=h.ac_ns + lc, lm=h.lm,
+                          ac_s=NEG_INF, ac_ns=h.ac_ns + lc,
+                          lm_s=h.lm_ns, lm_ns=h.lm_ns,
                           barc_ns=h.barc_ns, bsc_ns=h.bsc_ns),
                 )
             # ---- extend with a new (or blank-separated repeated) symbol ----
@@ -302,8 +336,9 @@ class LexiconBeamSearch:
                 ac_base = h.ac_s if c == last else ac
                 if c == last:
                     src_barc, src_bsc = h.barc_s, h.bsc_s
+                    src_w, src_l = h.words_s, h.lm_s
                 else:
-                    src_barc, src_bsc = bb, bbs
+                    src_barc, src_bsc, src_w, src_l = bb, bbs, bw, bl
                 if base == NEG_INF:
                     continue
                 if c == self.sil:
@@ -311,14 +346,15 @@ class LexiconBeamSearch:
                     if node == 0:
                         self._merge(
                             next_hyps,
-                            LmHyp(words, 0, self.sil,
+                            LmHyp(src_w, src_w, 0, self.sil,
                                   s=NEG_INF, ns=base + scale * lc,
-                                  ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm,
+                                  ac_s=NEG_INF, ac_ns=ac_base + lc,
+                                  lm_s=src_l, lm_ns=src_l,
                                   barc_ns=src_barc, bsc_ns=src_bsc),
                         )
                     # SIL at a word-final node closes the word(s)
                     wlist = self._node_words(node)
-                    ctx = self._lm_context(words)
+                    ctx = self._lm_context(src_w)
                     for wid in wlist[: self.max_homophones]:
                         wlp = self.lm.logp(ctx, self.lexicon.words[wid])
                         lm_add = wlp + cfg.length_penalty
@@ -330,13 +366,14 @@ class LexiconBeamSearch:
                         if record:
                             arc_id = self._graph.close(
                                 src_barc, wid, t_idx, ns_new - src_bsc)
+                        new_w = src_w + (wid,)
                         self._merge(
                             next_hyps,
-                            LmHyp(words + (wid,), 0, self.sil,
+                            LmHyp(new_w, new_w, 0, self.sil,
                                   s=NEG_INF,
                                   ns=ns_new,
                                   ac_s=NEG_INF, ac_ns=ac_base + lc,
-                                  lm=h.lm + lm_add,
+                                  lm_s=src_l + lm_add, lm_ns=src_l + lm_add,
                                   barc_ns=arc_id, bsc_ns=ns_new),
                         )
                 else:
@@ -346,9 +383,10 @@ class LexiconBeamSearch:
                     la_adj = float(self.la[child]) - float(self.la[node])
                     self._merge(
                         next_hyps,
-                        LmHyp(words, child, c,
+                        LmHyp(src_w, src_w, child, c,
                               s=NEG_INF, ns=base + scale * lc + la_adj,
-                              ac_s=NEG_INF, ac_ns=ac_base + lc, lm=h.lm,
+                              ac_s=NEG_INF, ac_ns=ac_base + lc,
+                              lm_s=src_l, lm_ns=src_l,
                               barc_ns=src_barc, bsc_ns=src_bsc),
                     )
 
@@ -397,7 +435,7 @@ class LexiconBeamSearch:
         optional, as in L.fst), keep root hyps, add </s> LM score. Also
         records lattice FinalRecs (Viterbi mode) for nbest_lattice()."""
         cfg = self.config
-        record = not cfg.sum_mode
+        record = self.record_lattice and not cfg.sum_mode
         if record:
             self._graph.final_edges = []  # idempotent across repeated calls
         out: Dict[Key, LmHyp] = {}
@@ -417,12 +455,16 @@ class LexiconBeamSearch:
                     wlp = self.lm.logp(ctx, self.lexicon.words[wid]) + cfg.length_penalty
                     # same lookahead cancellation as in-search word closes, so
                     # final candidates all share the root-lookahead offset
+                    # (components may carry different full histories under
+                    # ngram keying but share the LM-context tail, so wlp is
+                    # identical for both)
                     adj = wlp + float(self.la[0]) - float(self.la[node])
                     candidates.append((
-                        replace(h, words=words + (wid,), node=0,
+                        replace(h, words_s=h.words_s + (wid,),
+                                words_ns=h.words_ns + (wid,), node=0,
                                 s=(h.s + adj if h.s != NEG_INF else NEG_INF),
                                 ns=(h.ns + adj if h.ns != NEG_INF else NEG_INF),
-                                lm=h.lm + wlp),
+                                lm_s=h.lm_s + wlp, lm_ns=h.lm_ns + wlp),
                         bb, bbs, wid,
                     ))
             for cand, barc, bscore, endw in candidates:
@@ -431,7 +473,7 @@ class LexiconBeamSearch:
                     cand,
                     s=(cand.s + eos_lp if cand.s != NEG_INF else NEG_INF),
                     ns=(cand.ns + eos_lp if cand.ns != NEG_INF else NEG_INF),
-                    lm=cand.lm + eos_lp,
+                    lm_s=cand.lm_s + eos_lp, lm_ns=cand.lm_ns + eos_lp,
                 )
                 if record and self._score(cand) != NEG_INF:
                     self._graph.final(barc, endw, self._score(cand) - bscore)
@@ -454,6 +496,12 @@ class LexiconBeamSearch:
         DecodeResult carries the same (ac, lm) split as the pool."""
         if self.config.sum_mode:
             raise ValueError("lattice n-best requires sum_mode=False")
+        if not self.record_lattice:
+            raise ValueError(
+                "lattice recording is off — construct with "
+                "record_lattice=True (or state_key='ngram' / "
+                "config.lattice_nbest)"
+            )
         self._close_final_words()  # (re)build the graph's final edges
         k = k or self.config.nbest
         seqs = self._graph.kbest(k)

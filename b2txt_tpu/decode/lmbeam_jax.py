@@ -291,7 +291,12 @@ class DeviceLexiconBeamSearch:
         # LM context hash (Kaldi token-passing state space) — different
         # histories merge, freeing beam slots for genuine alternatives.
         # Viterbi-only: under sum_mode, merging different sentences would
-        # pool their path mass incorrectly.
+        # pool their path mass incorrectly. Readout caveat: a merged beam
+        # stores ONE (lm, ctx, backpointer) — the overall-best path's at
+        # merge time. If the blank/non-blank components later cross over,
+        # the reported sentence can lag the true Viterbi argmax by one merge
+        # (scores stay exact; the python oracle tracks per-component
+        # lineage and is exact — lmbeam.py LmHyp.words_s/words_ns).
         if state_key not in ("history", "ngram"):
             raise ValueError(f"state_key must be history|ngram: {state_key}")
         if state_key == "ngram" and self.config.sum_mode:

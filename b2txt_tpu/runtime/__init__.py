@@ -129,7 +129,11 @@ class NativeLexiconBeamSearch:
             )
         self.max_homophones = max_homophones
         # "ngram" = Kaldi token-passing state space (LM-context truncated);
-        # required for deep lattice n-best (decode/lattice.py design)
+        # required for deep lattice n-best (decode/lattice.py design).
+        # Viterbi-only: merging different histories under log-sum would pool
+        # distinct sentences' path mass.
+        if state_key not in ("history", "ngram"):
+            raise ValueError(f"state_key must be history|ngram: {state_key}")
         self.state_key = state_key
         self.n_frames = 0
         self.config = config or DecodeConfig()
@@ -158,6 +162,11 @@ class NativeLexiconBeamSearch:
             self._h = None
 
     def set_opt(self, config: DecodeConfig) -> None:
+        if config.sum_mode and (self.state_key == "ngram"
+                                or config.lattice_nbest):
+            raise ValueError(
+                "ngram state keying / lattice_nbest require sum_mode=False"
+            )
         self.config = config
         self._lib.b2t_set_opt(
             self._h, config.acoustic_scale, config.blank_penalty,

@@ -532,11 +532,14 @@ struct Decoder {
       return static_cast<int64_t>(NGramLM::HashIds(c, n));
     };
 
-    auto merge = [&](int word_node, int node, int last, double s, double ns,
+    // ``hist`` = the hypothesis-identity key for its word history: the
+    // arena index (full history) or, under ngram keying, the LM-context
+    // tail hash — computed ONCE per source hypothesis / close target, not
+    // per candidate (a hyp emits ~40 candidates per frame)
+    auto merge = [&](int64_t hist, int word_node, int node, int last,
+                     double s, double ns,
                      double ac_s, double ac_ns, double lm_score,
                      int bn_s, double bs_s, int bn_ns, double bs_ns) {
-      int64_t hist = opts.ngram_key ? tail_key(word_node)
-                                    : static_cast<int64_t>(word_node);
       Key k{(hist << 20) ^ node, static_cast<int64_t>(last)};
       auto it = next_map.find(k);
       if (it == next_map.end()) {
@@ -640,11 +643,16 @@ struct Decoder {
         bb = h.bnode_ns;
         bbs = h.bsc_ns;
       }
+      const int64_t h_hist = opts.ngram_key
+                                 ? tail_key(h.word_node)
+                                 : static_cast<int64_t>(h.word_node);
       // blank / absorbed repeat (stay)
-      merge(h.word_node, h.node, h.last, score + scale * lp[blank], kNegInf,
+      merge(h_hist, h.word_node, h.node, h.last,
+            score + scale * lp[blank], kNegInf,
             ac + lp[blank], kNegInf, h.lm_score, bb, bbs, 0, 0.0);
       if (h.last >= 0 && h.ns != kNegInf) {
-        merge(h.word_node, h.node, h.last, kNegInf, h.ns + scale * lp[h.last],
+        merge(h_hist, h.word_node, h.node, h.last, kNegInf,
+              h.ns + scale * lp[h.last],
               kNegInf, h.ac_ns + lp[h.last], h.lm_score,
               0, 0.0, h.bnode_ns, h.bsc_ns);
       }
@@ -659,8 +667,8 @@ struct Decoder {
         double lc = lp[c];
         if (c == sil) {
           if (h.node == 0) {
-            merge(h.word_node, 0, sil, kNegInf, base + scale * lc, kNegInf,
-                  ac_base + lc, h.lm_score, 0, 0.0, src_b, src_bs);
+            merge(h_hist, h.word_node, 0, sil, kNegInf, base + scale * lc,
+                  kNegInf, ac_base + lc, h.lm_score, 0, 0.0, src_b, src_bs);
           }
           const auto& ws = lex->words_at[h.node];
           if (!ws.empty()) {
@@ -675,7 +683,9 @@ struct Decoder {
               double ns_new = base + scale * lc + wlp + la_adj;
               int arc = 0;
               if (rec) arc = LatClose(src_b, wn, ws[j], ns_new - src_bs);
-              merge(wn, 0, sil, kNegInf, ns_new,
+              merge(opts.ngram_key ? tail_key(wn)
+                                   : static_cast<int64_t>(wn),
+                    wn, 0, sil, kNegInf, ns_new,
                     kNegInf, ac_base + lc, h.lm_score + wlp,
                     0, 0.0, arc, ns_new);
             }
@@ -683,7 +693,7 @@ struct Decoder {
         } else {
           int child = lex->next[h.node][c];
           if (child < 0) continue;
-          merge(h.word_node, child, c, kNegInf,
+          merge(h_hist, h.word_node, child, c, kNegInf,
                 base + scale * lc + (la[child] - la[h.node]), kNegInf,
                 ac_base + lc, h.lm_score, 0, 0.0, src_b, src_bs);
         }

@@ -103,6 +103,12 @@ def _make_searcher(
     # decode/lattice.py) requires the Kaldi-style ngram state space; the
     # device searcher decodes the pool only (the production deep-nbest path
     # is the C++ lattice on the host core, like the reference's)
+    if config.lattice_nbest and config.sum_mode:
+        raise ValueError(
+            "lattice_nbest requires sum_mode=False (Viterbi): merging "
+            "different word histories under log-sum would pool distinct "
+            "sentences' path mass"
+        )
     state_key = "ngram" if config.lattice_nbest else "history"
     if backend == "python":
         return LexiconBeamSearch(lexicon, lm, config, state_key=state_key)

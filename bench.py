@@ -251,8 +251,7 @@ def aggregate_wer(sents, results):
 
 
 def measure_llm_finalize(dev, lex, lm, lm_unpruned, cfg, run1, batches,
-                         keys, plens, all_sents, n_utts: int,
-                         tiny: bool = False):
+                         keys, plens, n_utts: int, tiny: bool = False):
     """Measured-in-run OPT-6.7b finalize: the reference's FULL per-sentence
     path (decode → unpruned rescore → augment_nbest → α-blended OPT-6.7b
     rescore, standalone :567-660) wall-clocked with the 6.7b resident on
@@ -624,7 +623,7 @@ def main() -> None:
         try:
             llm_stage = measure_llm_finalize(
                 dev, lex, lm, lm_unpruned, cfg, run1, batches, keys, plens,
-                all_sents, n_utts=args.llm_utts, tiny=args.llm_tiny)
+                n_utts=args.llm_utts, tiny=args.llm_tiny)
             if args.llm_tiny:
                 llm_stage["tiny_model"] = True
         except Exception as e:  # noqa: BLE001 — report, don't die

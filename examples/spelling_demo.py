@@ -75,6 +75,7 @@ def main(n_utts: int = 20, seed: int = 0, verbose: bool = True) -> int:
                          channel_order="model")
 
     test_words = ["".join(w) for w in corpus[: max(200, n_utts)]]
+    n_utts = min(n_utts, len(test_words))  # fallback corpus is small
     picks = [test_words[i]
              for i in rng.choice(len(test_words), n_utts, replace=False)]
     n_ok = 0

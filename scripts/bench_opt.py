@@ -98,6 +98,8 @@ def main():
                         "the reference's lattice-ShortestPath -> OPT path")
     p.add_argument("--lattice_width", type=int, default=256)
     args = p.parse_args()
+    if args.lattice and not args.full:
+        args.full = True  # stage E builds on stage C's world and posteriors
 
     from b2txt_tpu.decode.opt_lm import OPTConfig, OPTRescorer, init_params
 

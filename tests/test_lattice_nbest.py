@@ -57,7 +57,7 @@ def test_no_overestimate_vs_forced_oracle(world, state_key):
     cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=100,
                        beam_width=48, first_beam_size=8, sum_mode=False)
     bs = LexiconBeamSearch(lex, lm, cfg, max_homophones=4,
-                           state_key=state_key)
+                           state_key=state_key, record_lattice=True)
     for sent in sents[:4]:
         ids = lex.sentence_to_phonemes(sent)
         lp = ctc_logprobs(rng, ids, noise=2.5)
