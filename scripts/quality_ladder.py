@@ -76,6 +76,10 @@ def main() -> None:
                         "path tied to the reference's lattice ShortestPath "
                         "(ctc_wfst_beam_search.cc:123-160)")
     p.add_argument("--lattice_width", type=int, default=512)
+    p.add_argument("--state_key", default="history",
+                   choices=["history", "ngram"],
+                   help="device-searcher hypothesis state space (bench.py "
+                        "--state_key)")
     p.add_argument("--force_cpu", action="store_true")
     args = p.parse_args()
 
@@ -126,7 +130,8 @@ def main() -> None:
             rescore_arpa=arpa_unpruned, state_key="ngram")
     dev = DeviceLexiconBeamSearch(lex, lm, cfg,
                                   max_homophones=args.max_homophones,
-                                  rescore_lm=lm_unpruned)
+                                  rescore_lm=lm_unpruned,
+                                  state_key=args.state_key)
     plens = None
     ladder = []
     for gain in gains:
