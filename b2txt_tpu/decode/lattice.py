@@ -101,10 +101,23 @@ class LatticeGraph:
     def kbest(self, k: int) -> List[Tuple[Tuple[int, ...], float]]:
         """Top-k distinct word sequences by exact spliced-path score."""
         n = len(self.frames)
+        # backward-reachability prune: most recorded alternatives die before
+        # the utterance end (their beams were pruned) — only nodes on some
+        # path to a final edge need the k-best DP (measured: the majority of
+        # merge-chain nodes are unreachable at wide beams)
+        live = bytearray(n)
+        for src, _w, _wt in self.final_edges:
+            live[src] = 1
+        for nid in range(n - 1, 0, -1):  # ids topological ⇒ reverse sweep
+            if live[nid]:
+                for src, _w, _wt in self.edges[nid]:
+                    live[src] = 1
         # per-node top-k: (score, edge_index_in_node, rank_in_src)
         best: List[List[Tuple[float, int, int]]] = [[] for _ in range(n)]
         best[0] = [(0.0, -1, -1)]
         for nid in range(1, n):          # ids are topological by construction
+            if not live[nid]:
+                continue
             cand: List[Tuple[float, int, int]] = []
             for ei, (src, _w, w) in enumerate(self.edges[nid]):
                 for r, (s, _, _) in enumerate(best[src]):

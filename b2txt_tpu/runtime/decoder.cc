@@ -874,6 +874,15 @@ struct Decoder {
   const std::vector<Result>& FinalizeLattice() {
     const int k = opts.nbest;
     const int n = static_cast<int>(lat_frame.size());
+    // backward-reachability prune: only nodes on some path to a final edge
+    // need the k-best DP (most recorded merge-chain alternatives died
+    // before the utterance end); node ids are topological ⇒ reverse sweep
+    std::vector<char> live(n, 0);
+    for (const auto& f : lat_final) live[f.src] = 1;
+    for (int nid = n - 1; nid > 0; --nid) {
+      if (!live[nid]) continue;
+      for (const auto& e : lat_in[nid]) live[e.src] = 1;
+    }
     struct Entry {
       double s;
       int ei;   // edge index in node (-1 = start)
@@ -883,6 +892,7 @@ struct Decoder {
     best[0] = {{0.0, -1, -1}};
     std::vector<Entry> cand;
     for (int nid = 1; nid < n; ++nid) {
+      if (!live[nid]) continue;
       cand.clear();
       const auto& edges = lat_in[nid];
       for (int ei = 0; ei < static_cast<int>(edges.size()); ++ei) {
