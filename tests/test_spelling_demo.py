@@ -16,3 +16,13 @@ def test_spelling_corpus_source():
     corpus = spelled_corpus()
     assert all(all(len(c) == 1 and c.isalpha() for c in w) for w in corpus)
     assert len(corpus) >= 25
+
+
+def test_lattice_demo():
+    """Guard for examples/lattice_demo.py — deep lattice lists through the
+    standard service vs the pool finalize."""
+    from examples.lattice_demo import main
+
+    res = main(n_utts=3, seed=1, verbose=False)
+    assert res["lattice"]["mean_depth"] > 3 * res["pool"]["mean_depth"]
+    assert res["lattice"]["top1_wer"] <= res["pool"]["top1_wer"]
