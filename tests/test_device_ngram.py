@@ -168,3 +168,26 @@ def test_logp_words_n_exact_tail_backoff():
     # approximation is the backoff value, never garbage
     if ("the", "mat") in lm.tables[1]:
         assert abs(exact[1] - (bow_the + uni_mat)) > 1e-6 or True
+
+
+def test_hash_ctx_identity_semantics():
+    """hash_ctx_jnp (the device ngram-keying identity): equal windows hash
+    equal, different windows differ, and padding (-1) vs real ids stay
+    distinct — the merge-correctness prerequisites."""
+    import jax.numpy as jnp
+
+    from b2txt_tpu.lm.device_ngram import hash_ctx_jnp
+
+    import numpy as np
+
+    a = jnp.asarray([[3, 7], [3, 7], [2, 7], [-1, 7], [7, 3]], jnp.int32)
+    h1, h2 = hash_ctx_jnp(a)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert h1[0] == h1[1] and h2[0] == h2[1]          # equal windows
+    pairs = set(zip(h1.tolist(), h2.tolist()))
+    assert len(pairs) == 4                            # all others distinct
+    # batch shapes broadcast
+    b = jnp.asarray([[[3, 7]], [[2, 7]]], jnp.int32)  # (2, 1, 2)
+    g1, g2 = hash_ctx_jnp(b)
+    assert g1.shape == (2, 1)
+    assert int(g1[0, 0]) == int(h1[0]) and int(g2[0, 0]) == int(h2[0])
