@@ -159,6 +159,37 @@ def test_finish_decoding_lattice_mode(world):
     assert len({c.sentence for c in out}) == len(out)
 
 
+def test_no_overestimate_homophones_order2_length_penalty():
+    """Exactness property under the harder configuration space: homophone
+    classes up to 6 (multiple closes per node per frame), an ORDER-2 LM
+    (single-word context tails recombine aggressively) and a nonzero
+    length_penalty — every lattice candidate must still respect the
+    forced-alignment oracle."""
+    from b2txt_tpu.data.adversarial import homophone_lexicon, zipf_corpus
+
+    rng = np.random.default_rng(11)
+    words, by_freq = homophone_lexicon(rng, 600)
+    lex = Lexicon.from_words(words)
+    lm = train_ngram(zipf_corpus(rng, by_freq, 1500) + [[w] for w in words],
+                     order=2)
+    wid = {w: i for i, w in enumerate(lex.words)}
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=40,
+                       beam_width=128, lattice_beam=10.0, first_beam_size=8,
+                       sum_mode=False, length_penalty=0.5)
+    bs = LexiconBeamSearch(lex, lm, cfg, max_homophones=6, state_key="ngram")
+    for i in range(4):
+        ws = [by_freq[r]
+              for r in np.random.default_rng(50 + i).choice(300, size=4)]
+        ids = lex.sentence_to_phonemes(" ".join(ws))
+        lp = ctc_logprobs(np.random.default_rng(60 + i), ids, noise=1.8)
+        bs.reset()
+        bs.decode(lp)
+        for c in bs.nbest_lattice()[:12]:
+            f = forced_rank(lp, [wid[w] for w in c.sentence.split()],
+                            lex, lm, cfg)
+            assert _rank(cfg, c) <= f + 1e-6, (c.sentence, _rank(cfg, c), f)
+
+
 def test_native_lattice_matches_python_oracle(world, tmp_path):
     """The C++ lattice (runtime/decoder.cc FinalizeLattice — the production
     deep-nbest path, mirroring the reference's C++ lattice ShortestPath)
