@@ -417,3 +417,96 @@ def llm_rescore_async(
         return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
 
     return finish
+
+
+def llm_rescore_group_async(
+    scorer: LLMScorer,
+    nbests: Sequence[NBest],
+    acoustic_scale: float,
+    alpha: float,
+    length_penalty: float = 0.0,
+    context: Optional[str] = None,
+    batch_fallback: int = 5,
+) -> List:
+    """Group-dispatch the LLM rescore of SEVERAL utterances' n-best lists in
+    ONE scorer call; returns one zero-arg finish thunk per utterance, each
+    producing that utterance's RescoreOutput.
+
+    Per-utterance outputs are IDENTICAL to :func:`llm_rescore_async` — the
+    packed OPT scorer (opt_lm.score_packed_fn) scores independent segments
+    under block-diagonal attention, so which call a hypothesis rides in
+    cannot change its score. What grouping changes is economics: one 6.7b
+    forward must stream all ~13.4 GB of bf16 weights from HBM (~16 ms floor
+    on a v5e) and one remote dispatch pays the tunnel RPC once — at ~10-30
+    candidates per utterance a per-utterance call is weight-stream-bound,
+    while a ~100-candidate group runs near the forward's compute roofline
+    (the reference pays this cost per candidate BATCH too, standalone
+    :127-161, but on a dedicated second GPU).
+
+    ``context`` (if any) must be SHARED by every utterance in the group —
+    the batched-eval path has none; conversational decoding (per-utterance
+    context) must use :func:`llm_rescore_async`. Failure semantics per
+    utterance match llm_rescore_async: a group-fetch failure falls back to
+    per-utterance batched retry then zeros.
+    """
+    ctx, prepend = _split_context(scorer, context)
+    preps = [_prep_hyps(nb, prepend) for nb in nbests]
+    all_hyps: List[str] = [h for hyps, _, _, _ in preps for h in hyps]
+    offsets = []
+    lo = 0
+    for hyps, _, _, _ in preps:
+        offsets.append((lo, lo + len(hyps)))
+        lo += len(hyps)
+
+    fetch = None
+    if all_hyps:
+        begin = getattr(scorer, "score_async", None)
+        if begin is not None:
+            try:
+                if ctx is not None:
+                    fetch = begin(all_hyps, length_penalty, context=ctx)
+                else:
+                    fetch = begin(all_hyps, length_penalty)
+            except Exception as e:  # dispatch failure → sync fallback
+                logging.error(f"Error dispatching LLM rescore: {e}")
+                fetch = None
+
+    shared: dict = {}
+
+    def group_scores() -> np.ndarray:
+        """Fetch (once) the whole group's scores; raises on failure — and
+        keeps raising for later thunks without re-fetching."""
+        if "err" in shared:
+            raise shared["err"]
+        if "scores" not in shared:
+            try:
+                if fetch is None:
+                    scores = np.asarray(
+                        _call_score(scorer, all_hyps, length_penalty, ctx))
+                else:
+                    scores = np.asarray(fetch())
+                if not np.all(np.isfinite(scores)):
+                    raise FloatingPointError("non-finite LLM scores")
+                shared["scores"] = scores
+            except Exception as e:
+                shared["err"] = e
+                raise
+        return shared["scores"]
+
+    def make_finish(i: int):
+        hyps, kept, ac, ngram = preps[i]
+        lo, hi = offsets[i]
+
+        def finish() -> RescoreOutput:
+            if not hyps:
+                return RescoreOutput(best="", nbest=[], confidence=0.0)
+            try:
+                llm_scores = group_scores()[lo:hi]
+            except Exception as e:
+                llm_scores = _fallback_scores(scorer, hyps, length_penalty,
+                                              batch_fallback, e, ctx)
+            return _blend(kept, ac, ngram, llm_scores, acoustic_scale, alpha)
+
+        return finish
+
+    return [make_finish(i) for i in range(len(preps))]

@@ -31,6 +31,7 @@ from ..decode.rescore import (
     RescoreOutput,
     augment_nbest,
     llm_rescore_async,
+    llm_rescore_group_async,
     rescore_nbest_with_ngram,
     results_to_nbest,
 )
@@ -169,7 +170,14 @@ class DecoderService:
         arpa_path: Optional[str] = None,
         lexicon_path: Optional[str] = None,
         searcher: Optional[Any] = None,
+        llm_group_candidates: int = 0,
     ):
+        """``llm_group_candidates`` > 0 groups the batched paths' LLM
+        forwards: consecutive utterances' n-best lists share one packed
+        6.7b call of up to that many candidates (output-identical —
+        decode/rescore.py llm_rescore_group_async — but amortizes the
+        per-call HBM weight stream and tunnel RPC; only applies when no
+        conversational context is set). 0 = one call per utterance."""
         if channel_order not in ("lm", "model"):
             raise ValueError(f"channel_order must be 'lm' or 'model', got {channel_order!r}")
         self.config = config or DecodeConfig()
@@ -186,6 +194,7 @@ class DecoderService:
         # post-cut host list rescore
         self._sync_device_rescore()
         self.llm = llm
+        self.llm_group_candidates = int(llm_group_candidates)
         self.channel_order = channel_order
         self.context: str = ""
         self.stats: Dict[str, float] = {}
@@ -258,14 +267,10 @@ class DecoderService:
         n-best list — shared by the streaming and batched paths."""
         return self._finalize_begin(results)()
 
-    def _finalize_begin(self, results: List[DecodeResult]):
-        """Host finalize (unpruned rescore → augment) + LLM DISPATCH for one
-        utterance; returns a zero-arg callable producing the FinalOutput.
-
-        The LLM forward (if any) is dispatched before returning — via
-        llm_rescore_async — so the batched paths can run the NEXT utterance's
-        host finalize work under this utterance's 6.7b device forward instead
-        of serializing [host prep → forward → fetch] per utterance."""
+    def _host_finalize(self, results: List[DecodeResult]):
+        """Host finalize for one utterance — unpruned n-gram rescore (unless
+        already done on chip) then augment_nbest. Returns the prepped n-best
+        list (possibly empty)."""
         cfg = self.config
         nbest = results_to_nbest(results)
 
@@ -285,30 +290,45 @@ class DecoderService:
                 score_penalty_percent=cfg.score_penalty_percent,
             )
             LOG.info(f"Augmented nbest from {before} to {len(nbest)} candidates.")
+        return nbest
+
+    def _wrap_llm_finish(self, finish, context: str):
+        """FinalOutput-producing thunk around a RescoreOutput finish thunk."""
+
+        def done() -> FinalOutput:
+            # timed from fetch start, not dispatch: under the pipelined
+            # path the window between begin and done holds OTHER
+            # utterances' host work; in the serial path the forward
+            # completes inside the fetch, so this still measures the
+            # LLM stage
+            t = time.time()
+            out: RescoreOutput = finish()
+            self.stats["llm_time"] = time.time() - t
+            LOG.info("LLM rescore time: %.3f" % self.stats["llm_time"])
+            return FinalOutput(
+                sentence=out.best, nbest=out.nbest,
+                context=context, confidence=out.confidence,
+            )
+
+        return done
+
+    def _finalize_begin(self, results: List[DecodeResult]):
+        """Host finalize (unpruned rescore → augment) + LLM DISPATCH for one
+        utterance; returns a zero-arg callable producing the FinalOutput.
+
+        The LLM forward (if any) is dispatched before returning — via
+        llm_rescore_async — so the batched paths can run the NEXT utterance's
+        host finalize work under this utterance's 6.7b device forward instead
+        of serializing [host prep → forward → fetch] per utterance."""
+        cfg = self.config
+        nbest = self._host_finalize(results)
 
         if cfg.do_opt and self.llm is not None and nbest:
             finish = llm_rescore_async(
                 self.llm, nbest, cfg.acoustic_scale, cfg.alpha,
                 length_penalty=cfg.length_penalty, context=self.context or None,
             )
-            context = self.context
-
-            def done() -> FinalOutput:
-                # timed from fetch start, not dispatch: under the pipelined
-                # path the window between begin and done holds OTHER
-                # utterances' host work; in the serial path the forward
-                # completes inside the fetch, so this still measures the
-                # LLM stage
-                t = time.time()
-                out: RescoreOutput = finish()
-                self.stats["llm_time"] = time.time() - t
-                LOG.info("LLM rescore time: %.3f" % self.stats["llm_time"])
-                return FinalOutput(
-                    sentence=out.best, nbest=out.nbest,
-                    context=context, confidence=out.confidence,
-                )
-
-            return done
+            return self._wrap_llm_finish(finish, self.context)
         if nbest:
             rows = [
                 (s.strip(), a, l, 0.0, cfg.acoustic_scale * a + l)
@@ -401,11 +421,59 @@ class DecoderService:
         window = 64
         pending: List = []
         outs: List[FinalOutput] = []
+        group_cap = (
+            self.llm_group_candidates
+            if (self.config.do_opt and self.llm is not None
+                and not (self.context or "").split())
+            else 0
+        )
+        if group_cap <= 0:
+            for n, nbest_lists in batched_results:
+                for r in nbest_lists[:n]:
+                    pending.append(self._finalize_begin(r))
+                    if len(pending) > window:
+                        outs.append(pending.pop(0)())
+            outs.extend(p() for p in pending)
+            return outs
+
+        # grouped LLM dispatch: buffer host-finalized n-best lists until the
+        # accumulated candidate count would pass group_cap, then score the
+        # whole group in ONE packed 6.7b call (output-identical per
+        # utterance — llm_rescore_group_async). Capacity-based flushing (not
+        # a fixed utterance count) keeps the packed call's segment bucket —
+        # and so the compiled 6.7b program — stable across groups.
+        cfg = self.config
+        buf: List = []
+        n_cands = 0
+
+        def flush() -> None:
+            nonlocal buf, n_cands
+            if not buf:
+                return
+            thunks = llm_rescore_group_async(
+                self.llm, buf, cfg.acoustic_scale, cfg.alpha,
+                length_penalty=cfg.length_penalty, context=None,
+            )
+            ctx = self.context
+            for nb, th in zip(buf, thunks):
+                if nb:
+                    pending.append(self._wrap_llm_finish(th, ctx))
+                else:
+                    LOG.error("No output from language model.")
+                    empty = FinalOutput(sentence="", nbest=[], context=ctx)
+                    pending.append(lambda empty=empty: empty)
+            buf, n_cands = [], 0
+
         for n, nbest_lists in batched_results:
             for r in nbest_lists[:n]:
-                pending.append(self._finalize_begin(r))
-                if len(pending) > window:
+                nb = self._host_finalize(r)
+                if buf and n_cands + len(nb) > group_cap:
+                    flush()
+                buf.append(nb)
+                n_cands += len(nb)
+                while len(pending) > window:
                     outs.append(pending.pop(0)())
+        flush()
         outs.extend(p() for p in pending)
         return outs
 
