@@ -97,6 +97,9 @@ def main():
                         "on the host core feeding the on-chip OPT rescore; "
                         "the reference's lattice-ShortestPath -> OPT path")
     p.add_argument("--lattice_width", type=int, default=256)
+    p.add_argument("--llm_group", type=int, default=96,
+                   help="stage C also measures grouped LLM finalize at this "
+                        "candidate capacity (0 skips the grouped leg)")
     args = p.parse_args()
     if args.lattice and not args.full:
         args.full = True  # stage E builds on stage C's world and posteriors
@@ -246,6 +249,26 @@ def main():
     outs = svc.decode_batched_utterances(batches, sizes)
     wall = time.perf_counter() - t0
     correct = sum(o.sentence == s for o, s in zip(outs, sents))
+
+    grouped = {}
+    if args.llm_group > 0:
+        # grouped-LLM leg (output-identical — tests/test_llm_group.py):
+        # warm the FULL batch sequence first so group-shape compiles stay
+        # out of the timed pass, then time the same pass
+        svc.llm_group_candidates = args.llm_group
+        svc.decode_batched_utterances(batches, sizes)
+        t0 = time.perf_counter()
+        outs_g = svc.decode_batched_utterances(batches, sizes)
+        wall_g = time.perf_counter() - t0
+        svc.llm_group_candidates = 0
+        grouped = {
+            "grouped_llm_candidates": args.llm_group,
+            "grouped_finalize_sentences_per_s": round(len(sents) / wall_g, 2),
+            "grouped_s_per_sentence": round(wall_g / len(sents), 3),
+            "grouped_output_identical": all(
+                a.sentence == b.sentence for a, b in zip(outs, outs_g)),
+        }
+
     print(json.dumps({
         "stage": "C_full_finalize_pipeline",
         "utts": len(sents),
@@ -257,6 +280,7 @@ def main():
                     "augment_nbest + OPT-6.7b alpha-blend",
         "world_build_s": round(build_s, 1),
         "warm_s": round(warm_s, 1),
+        **grouped,
     }), flush=True)
 
     if args.lattice:

@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--do_opt", action="store_true", help="LLM rescoring (transformers)")
     p.add_argument("--opt_model", default="facebook/opt-6.7b")
     p.add_argument("--opt_cache_dir", default=None)
+    p.add_argument("--llm_group", type=int, default=96,
+                   help="group up to this many n-best candidates across "
+                        "utterances per LLM call on batched paths "
+                        "(output-identical; 0 = one call per utterance)")
     p.add_argument("--searcher", default="native",
                    choices=["native", "device", "python"],
                    help="beam-search backend: native C++ host decoder "
@@ -86,6 +90,7 @@ def main() -> None:
             channel_order="model", searcher_backend=args.searcher,
             arpa_path=os.path.join(args.lm_dir, "lm.arpa"),
             lexicon_path=lex_path,
+            llm_group_candidates=args.llm_group,
         )
 
     out = evaluate_sessions(
