@@ -364,18 +364,15 @@ class DecoderService:
             # serial host decode, but finalize pipelined: the LLM forward of
             # utterance i overlaps the beam search of utterance i+1 — the
             # reference's two-GPU layout (RNN/decode ∥ OPT) on one chip +
-            # one core
-            window = 64
-            pending, outs = [], []
-            for logits in logits_list:
-                self.reset()
-                self.decode_chunk(logits)
-                pending.append(
-                    self._finalize_begin(self.searcher.finish_decoding()))
-                if len(pending) > window:
-                    outs.append(pending.pop(0)())
-            outs.extend(p() for p in pending)
-            return outs
+            # one core. Routed through _finalize_pipelined so grouped LLM
+            # dispatch (llm_group_candidates) applies here too.
+            def stream():
+                for logits in logits_list:
+                    self.reset()
+                    self.decode_chunk(logits)
+                    yield 1, [self.searcher.finish_decoding()]
+
+            return self._finalize_pipelined(stream())
 
         prepped = []
         for logits in logits_list:

@@ -293,7 +293,8 @@ def main():
         svc_lat = DecoderService(lex, lm, lat_cfg, rescore_lm=lm_unpruned,
                                  llm=resc, channel_order="model",
                                  searcher_backend="native",
-                                 arpa_path=arpa, lexicon_path=lexp)
+                                 arpa_path=arpa, lexicon_path=lexp,
+                                 llm_group_candidates=args.llm_group)
         host_lp = []
         for (lp_dev, _pl), n_real in zip(batches, sizes):
             arr = np.asarray(lp_dev)
