@@ -167,6 +167,41 @@ def test_service_grouped_pipeline_parity(lexicon, lm):
         assert a.nbest == b.nbest and a.confidence == b.confidence
 
 
+def test_serial_decode_utterances_grouped_parity(lexicon, lm):
+    """The serial (python/native backend) decode_utterances path inherits
+    grouping via _finalize_pipelined: grouped == ungrouped outputs on real
+    beam-search results."""
+    sizes = []
+
+    class CountingScorer:
+        def score(self, texts, length_penalty=0.0):
+            sizes.append(len(texts))
+            return [-float(len(t)) for t in texts]
+
+    def clean_logits(phoneme_ids, n_classes=41, frames_per=3, hot=6.0):
+        rows = []
+        for pid in phoneme_ids:
+            rows += [np.full(n_classes, -hot, np.float32)] * frames_per
+            for r in rows[-frames_per:]:
+                r[pid] = hot
+            blank = np.full(n_classes, -hot, np.float32)
+            blank[0] = hot
+            rows.append(blank)
+        return np.stack(rows)
+
+    sents = ["the cat", "the mat", "the cat sat", "the mat on the cat"]
+    logits = [clean_logits(lexicon.sentence_to_phonemes(s)) for s in sents]
+
+    outs = {}
+    for group in (0, 12):
+        svc = _pipelined_service(lexicon, lm, CountingScorer(), group=group)
+        svc.channel_order = "model"
+        outs[group] = svc.decode_utterances(logits)
+    assert [o.sentence for o in outs[12]] == sents
+    for a, b in zip(outs[12], outs[0]):
+        assert a.sentence == b.sentence and a.nbest == b.nbest
+
+
 def test_service_group_gated_off_by_context(lexicon, lm):
     """Conversational context (per-utterance prefix state) must bypass the
     grouped path — it dispatches one call per utterance with the context."""
