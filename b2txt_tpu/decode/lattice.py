@@ -177,11 +177,24 @@ def forced_rank(
     trailing SIL / end-close, word LM at the boundary SIL, </s> at the end)
     — the independent oracle that lattice n-best scores are checked
     against: a spliced lattice path must never OVERESTIMATE this value, and
-    equals it whenever the beam explored the optimal alignment."""
+    equals it whenever the beam explored the optimal alignment.
+
+    Valid only with blank skipping OFF (ctc_blank_skip_threshold >= 1.0):
+    the searcher skips hot-blank frames (dropping their acoustic terms and
+    re-inserting one synthetic blank) while this DP scores every frame, so
+    under skipping a correct lattice candidate could legitimately exceed
+    this value — raise rather than report a spurious overestimate."""
     import math
 
     from ..lm.ngram import BOS, EOS
     from ..utils.phonemes import BLANK_ID, SIL_ID_MODEL
+
+    if getattr(config, "ctc_blank_skip_threshold", 1.0) < 1.0:
+        raise ValueError(
+            "forced_rank models the no-skip decode; run it with "
+            "ctc_blank_skip_threshold=1.0 (the skipped frames' acoustic "
+            "terms are absent from searcher scores but present in this DP)"
+        )
 
     scale = config.acoustic_scale
     lp = np.asarray(log_probs, np.float64).copy()

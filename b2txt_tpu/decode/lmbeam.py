@@ -154,6 +154,7 @@ class LexiconBeamSearch:
         # node per competitive merge — on by default only when the lattice
         # can be consumed (mirrors decoder.cc's gating); pass True to use
         # nbest_lattice() with history keying
+        self._record_explicit = record_lattice is not None
         if record_lattice is None:
             record_lattice = (self.config.lattice_nbest
                               or state_key == "ngram")
@@ -189,7 +190,22 @@ class LexiconBeamSearch:
         """Runtime reconfiguration (parity: BrainSpeechDecoder::SetOpt)."""
         if self.state_key == "ngram" and config.sum_mode:
             raise ValueError("state_key='ngram' requires sum_mode=False")
+        if config.lattice_nbest and config.sum_mode:
+            raise ValueError("lattice_nbest requires sum_mode=False")
         self.config = config
+        # re-derive lattice recording from the new config (unless pinned by
+        # the constructor arg) so set_opt(lattice_nbest=True) works like the
+        # native decoder's b2t_set_lattice_opt. Enabling mid-utterance would
+        # backtrace a graph that is missing every word closed so far —
+        # refuse, matching the native latch-at-Reset semantics.
+        if not self._record_explicit:
+            want = config.lattice_nbest or self.state_key == "ngram"
+            if want and not self.record_lattice and self.n_frames > 0:
+                raise ValueError(
+                    "cannot enable lattice recording mid-utterance; "
+                    "reset() first"
+                )
+            self.record_lattice = want
 
     def reset(self) -> None:
         from .lattice import LatticeGraph

@@ -419,6 +419,15 @@ class DeviceLexiconBeamSearch:
 
     # ---------------------------------------------------------------- state
     def set_opt(self, config: DecodeConfig) -> None:
+        # mirror the constructor's validation: runtime reconfiguration
+        # (SetOpt parity) must not reach states the constructor rejects
+        if self.state_key == "ngram" and config.sum_mode:
+            raise ValueError("state_key='ngram' requires sum_mode=False")
+        if config.lattice_nbest:
+            raise ValueError(
+                "lattice_nbest needs the 'native' or 'python' backend; "
+                "the device searcher returns the beam pool"
+            )
         self.config = config
 
     def _make_state(self) -> LmBeamState:

@@ -365,6 +365,35 @@ def llm_rescore(
                              batch_fallback=batch_fallback)()
 
 
+def _begin_async(scorer: LLMScorer, hyps: List[str], length_penalty: float,
+                 ctx: Optional[str]):
+    """Dispatch via ``score_async`` when the scorer has it; returns the fetch
+    thunk, or None (no async support / dispatch failed → sync path)."""
+    begin = getattr(scorer, "score_async", None)
+    if begin is None:
+        return None
+    try:
+        if ctx is not None:
+            return begin(hyps, length_penalty, context=ctx)
+        return begin(hyps, length_penalty)
+    except Exception as e:  # dispatch failure → sync fallback in finish
+        logging.error(f"Error dispatching LLM rescore: {e}")
+        return None
+
+
+def _fetch_scores(scorer: LLMScorer, hyps: List[str], length_penalty: float,
+                  ctx: Optional[str], fetch) -> np.ndarray:
+    """Fetch dispatched scores (or score synchronously) with the finite
+    guard; raises so callers apply :func:`_fallback_scores`."""
+    if fetch is None:
+        scores = np.asarray(_call_score(scorer, hyps, length_penalty, ctx))
+    else:
+        scores = np.asarray(fetch())
+    if not np.all(np.isfinite(scores)):
+        raise FloatingPointError("non-finite LLM scores")
+    return scores
+
+
 def llm_rescore_async(
     scorer: LLMScorer,
     nbest: NBest,
@@ -390,27 +419,12 @@ def llm_rescore_async(
     if not hyps:
         return lambda: RescoreOutput(best="", nbest=[], confidence=0.0)
 
-    begin = getattr(scorer, "score_async", None)
-    fetch = None
-    if begin is not None:
-        try:
-            if ctx is not None:
-                fetch = begin(hyps, length_penalty, context=ctx)
-            else:
-                fetch = begin(hyps, length_penalty)
-        except Exception as e:  # dispatch failure → sync fallback in finish
-            logging.error(f"Error dispatching LLM rescore: {e}")
-            fetch = None
+    fetch = _begin_async(scorer, hyps, length_penalty, ctx)
 
     def finish() -> RescoreOutput:
         try:
-            if fetch is None:  # no async support (or dispatch failed)
-                llm_scores = np.asarray(
-                    _call_score(scorer, hyps, length_penalty, ctx))
-            else:
-                llm_scores = np.asarray(fetch())
-            if not np.all(np.isfinite(llm_scores)):
-                raise FloatingPointError("non-finite LLM scores")
+            llm_scores = _fetch_scores(scorer, hyps, length_penalty, ctx,
+                                       fetch)
         except Exception as e:
             llm_scores = _fallback_scores(scorer, hyps, length_penalty,
                                           batch_fallback, e, ctx)
@@ -458,18 +472,8 @@ def llm_rescore_group_async(
         offsets.append((lo, lo + len(hyps)))
         lo += len(hyps)
 
-    fetch = None
-    if all_hyps:
-        begin = getattr(scorer, "score_async", None)
-        if begin is not None:
-            try:
-                if ctx is not None:
-                    fetch = begin(all_hyps, length_penalty, context=ctx)
-                else:
-                    fetch = begin(all_hyps, length_penalty)
-            except Exception as e:  # dispatch failure → sync fallback
-                logging.error(f"Error dispatching LLM rescore: {e}")
-                fetch = None
+    fetch = (_begin_async(scorer, all_hyps, length_penalty, ctx)
+             if all_hyps else None)
 
     shared: dict = {}
 
@@ -480,14 +484,8 @@ def llm_rescore_group_async(
             raise shared["err"]
         if "scores" not in shared:
             try:
-                if fetch is None:
-                    scores = np.asarray(
-                        _call_score(scorer, all_hyps, length_penalty, ctx))
-                else:
-                    scores = np.asarray(fetch())
-                if not np.all(np.isfinite(scores)):
-                    raise FloatingPointError("non-finite LLM scores")
-                shared["scores"] = scores
+                shared["scores"] = _fetch_scores(
+                    scorer, all_hyps, length_penalty, ctx, fetch)
             except Exception as e:
                 shared["err"] = e
                 raise

@@ -405,6 +405,12 @@ struct Decoder {
   std::vector<LatEdge> lat_final;            // sink edges (src, end word, w)
   std::unordered_map<uint64_t, int> lat_close_ids;
   int step_idx = 0;
+  // recording gate LATCHED per utterance at Reset: enabling lattice opts
+  // mid-utterance (SetOpt between chunks) must not take effect until the
+  // next Reset — a graph recorded from mid-utterance on would be missing
+  // every word closed before the toggle and FinalizeLattice would
+  // backtrace truncated sentences with full-looking scores
+  bool lat_rec = false;
 
   int LatClose(int parent, int new_hist, int word, double weight) {
     // recombine by (step, LM-context tail of the NEW history): boundary
@@ -500,6 +506,7 @@ struct Decoder {
     lat_final.clear();
     lat_close_ids.clear();
     step_idx = 0;
+    lat_rec = !opts.sum_mode && (opts.lattice_nbest || opts.ngram_key);
   }
 
   void Context(int word_node, int* ctx, int* ctx_len) const {
@@ -522,8 +529,8 @@ struct Decoder {
     const double scale = opts.acoustic_scale;
     // lattice recording costs a hash+insert per close and a node per
     // competitive merge; it is opt-in (the plain Viterbi decode path stays
-    // at its measured throughput)
-    const bool rec = !opts.sum_mode && (opts.lattice_nbest || opts.ngram_key);
+    // at its measured throughput) and latched per utterance at Reset
+    const bool rec = lat_rec;
 
     auto tail_key = [&](int word_node) -> int64_t {
       int c[8];
@@ -783,8 +790,7 @@ struct Decoder {
       int word_node;
       int extra;
     };
-    const bool rec =
-        !opts.sum_mode && (opts.lattice_nbest || opts.ngram_key);
+    const bool rec = lat_rec;
     lat_final.clear();
     std::vector<Cand> cands;
     int ctx[8];
@@ -830,7 +836,11 @@ struct Decoder {
         }
       }
     }
-    if (opts.lattice_nbest && !opts.sum_mode) return FinalizeLattice();
+    // lattice finalize only when this utterance actually RECORDED (the
+    // latch), so a mid-utterance lattice_nbest enable degrades to the pool
+    // finalize instead of a truncated lattice
+    if (opts.lattice_nbest && !opts.sum_mode && lat_rec)
+      return FinalizeLattice();
     // Unpruned-LM rescoring over the candidate set: replace each candidate's
     // decode-LM score with the unpruned LM's full-sentence score and re-rank
     // — the n-best analogue of the reference's lattice −G_pruned/+G_unpruned
@@ -1072,7 +1082,8 @@ void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
                  double blank_skip_thresh, double length_penalty, int nbest,
                  int beam_width, double beam, int max_homophones,
                  int first_beam, int sum_mode) {
-  auto& o = static_cast<B2TDecoder*>(p)->dec->opts;
+  auto* dec = static_cast<B2TDecoder*>(p)->dec.get();
+  auto& o = dec->opts;
   o.acoustic_scale = acoustic_scale;
   o.blank_penalty = blank_penalty;
   o.blank_skip_thresh = blank_skip_thresh;
@@ -1083,6 +1094,9 @@ void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
   o.max_homophones = max_homophones;
   o.first_beam = first_beam;
   o.sum_mode = sum_mode != 0;
+  // sum_mode gates lattice recording; refresh the latch on a fresh state
+  if (dec->n_frames == 0 && dec->step_idx == 0)
+    dec->lat_rec = !o.sum_mode && (o.lattice_nbest || o.ngram_key);
 }
 
 // Lattice n-best controls (decode/lattice.py semantics): ngram_key switches
@@ -1091,10 +1105,16 @@ void b2t_set_opt(void* p, double acoustic_scale, double blank_penalty,
 // lattice_beam is the merged-alternative retention margin.
 void b2t_set_lattice_opt(void* p, int ngram_key, int lattice_nbest,
                          double lattice_beam) {
-  auto& o = static_cast<B2TDecoder*>(p)->dec->opts;
+  auto* dec = static_cast<B2TDecoder*>(p)->dec.get();
+  auto& o = dec->opts;
   o.ngram_key = ngram_key != 0;
   o.lattice_nbest = lattice_nbest != 0;
   o.lattice_beam = lattice_beam;
+  // re-latch the per-utterance recording gate if nothing was decoded yet
+  // (the common construct → set opts → decode flow); mid-utterance the
+  // latch stays, taking effect at the next Reset
+  if (dec->n_frames == 0 && dec->step_idx == 0)
+    dec->lat_rec = !o.sum_mode && (o.lattice_nbest || o.ngram_key);
 }
 
 void b2t_decode(void* p, const float* logprobs, int T, int C) {

@@ -299,7 +299,11 @@ def main():
         for (lp_dev, _pl), n_real in zip(batches, sizes):
             arr = np.asarray(lp_dev)
             host_lp.extend(arr[i] for i in range(n_real))
-        svc_lat.decode_utterances(host_lp[:2])  # warm/compile
+        # warm the FULL pass: grouped-LLM call shapes depend on the group
+        # boundaries of the whole candidate stream, and a 6.7b recompile
+        # inside the timed window would corrupt the rate (same rationale as
+        # bench.py measure_llm_finalize's warm pass)
+        svc_lat.decode_utterances(host_lp)
         t0 = time.perf_counter()
         outs_l = svc_lat.decode_utterances(host_lp)
         wall_l = time.perf_counter() - t0

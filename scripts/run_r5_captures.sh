@@ -10,7 +10,8 @@ run() {
   name=$1; tmo=$2; shift 2
   echo "=== $name : $* (timeout ${tmo}s) $(date +%H:%M:%S) ==="
   timeout "$tmo" "$@" 2>&1 | tail -40
-  echo "=== $name exit $? $(date +%H:%M:%S) ==="
+  # PIPESTATUS[0]: the command's status, not tail's (124 = timed out)
+  echo "=== $name exit ${PIPESTATUS[0]} $(date +%H:%M:%S) ==="
 }
 
 # 1. canonical connected bench with measured OPT finalize (BENCH_r05 preview)

@@ -317,3 +317,110 @@ def test_ngram_keying_top1_matches_history_keying(world):
         ra = a.finish_decoding()
         rb = b.finish_decoding()
         assert ra[0].sentence == rb[0].sentence == sent
+
+
+def test_setopt_runtime_lattice_toggle_python(world):
+    """SetOpt parity for the lattice knob on the python searcher: enabling
+    lattice_nbest between utterances re-derives recording (like
+    decoder.cc's b2t_set_lattice_opt); enabling MID-utterance refuses — a
+    graph recorded from mid-stream would be missing every earlier word."""
+    lex, lm, sents, wid, rng = world
+    plain = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=20,
+                         beam_width=64, first_beam_size=8, sum_mode=False)
+    bs = LexiconBeamSearch(lex, lm, plain, max_homophones=4)
+    assert not bs.record_lattice
+    bs.set_opt(plain.replace(lattice_nbest=True, lattice_beam=10.0))
+    assert bs.record_lattice
+    ids = lex.sentence_to_phonemes(sents[0])
+    lp = ctc_logprobs(rng, ids, noise=2.0)
+    bs.reset()
+    bs.decode(lp)
+    out = bs.finish_decoding()  # lattice path, no ValueError
+    assert out and out[0].sentence
+    # sum_mode combined with lattice_nbest is rejected at set_opt
+    with pytest.raises(ValueError, match="sum_mode"):
+        bs.set_opt(plain.replace(lattice_nbest=True, sum_mode=True))
+    # mid-utterance enable refuses
+    bs2 = LexiconBeamSearch(lex, lm, plain, max_homophones=4)
+    bs2.reset()
+    bs2.decode(lp[:20])
+    with pytest.raises(ValueError, match="mid-utterance"):
+        bs2.set_opt(plain.replace(lattice_nbest=True))
+
+
+def test_setopt_runtime_lattice_toggle_native(world, tmp_path):
+    """The C++ decoder latches the recording gate per utterance: a fresh
+    set_opt enables the lattice finalize, while a MID-utterance toggle
+    degrades to the pool finalize (full sentences) for that utterance
+    instead of backtracing a truncated lattice."""
+    from b2txt_tpu.runtime import NativeLexiconBeamSearch
+    from b2txt_tpu.utils.phonemes import LOGIT_TO_PHONEME
+
+    lex, lm, sents, wid, rng = world
+    plain = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=20,
+                         beam_width=64, first_beam_size=8, sum_mode=False)
+    lat = plain.replace(lattice_nbest=True, lattice_beam=10.0,
+                        beam_width=256)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.to_arpa(arpa)
+    lexp = str(tmp_path / "lex.txt")
+    with open(lexp, "w") as f:
+        for w, i in lex.word_ids.items():
+            for pron in lex.prons[i]:
+                f.write(f"{w.upper()}  "
+                        f"{' '.join(LOGIT_TO_PHONEME[p] for p in pron)}\n")
+
+    ids = lex.sentence_to_phonemes(sents[0])
+    lp = ctc_logprobs(rng, ids, noise=2.0)
+
+    # enable via set_opt on a FRESH decoder (no reset in between): the
+    # re-latch in b2t_set_lattice_opt must arm recording
+    nat = NativeLexiconBeamSearch(arpa, lexp, plain, max_homophones=4)
+    nat.set_opt(lat)
+    nat.decode(lp)
+    toggled = nat.finish_decoding()
+    ref = NativeLexiconBeamSearch(arpa, lexp, lat, max_homophones=4,
+                                  state_key="history")
+    ref.reset()
+    ref.decode(lp)
+    want = ref.finish_decoding()
+    assert toggled[0].sentence == want[0].sentence
+    assert len(toggled) == len(want) > 3  # the deep lattice list, not pool
+
+    # MID-utterance toggle: pool finalize for this utterance (no truncated
+    # sentences), lattice from the next reset on
+    nat2 = NativeLexiconBeamSearch(arpa, lexp, plain, max_homophones=4)
+    nat2.reset()
+    nat2.decode(lp[:40])
+    nat2.set_opt(lat)
+    nat2.decode(lp[40:])
+    mid = nat2.finish_decoding()
+    plain_ref = NativeLexiconBeamSearch(arpa, lexp, plain, max_homophones=4)
+    plain_ref.reset()
+    plain_ref.decode(lp)
+    pool = plain_ref.finish_decoding()
+    assert mid[0].sentence == pool[0].sentence  # full, not truncated
+    nat2.reset()
+    nat2.decode(lp)
+    after = nat2.finish_decoding()
+    assert after[0].sentence == want[0].sentence
+    assert len(after) == len(want)
+
+
+def test_device_setopt_guards(world):
+    """DeviceLexiconBeamSearch.set_opt mirrors its constructor validation:
+    runtime reconfiguration cannot reach sum_mode under ngram keying (score
+    corruption) or lattice_nbest (unsupported on the pool searcher)."""
+    from b2txt_tpu.decode.lmbeam_jax import DeviceLexiconBeamSearch
+
+    lex, lm, sents, wid, rng = world
+    cfg = DecodeConfig(acoustic_scale=0.325, blank_penalty=90.0, nbest=10,
+                       beam_width=16, first_beam_size=8, sum_mode=False)
+    dev = DeviceLexiconBeamSearch(lex, lm, cfg, max_homophones=4,
+                                  state_key="ngram")
+    with pytest.raises(ValueError, match="sum_mode"):
+        dev.set_opt(cfg.replace(sum_mode=True))
+    with pytest.raises(ValueError, match="lattice_nbest"):
+        dev.set_opt(cfg.replace(lattice_nbest=True))
+    dev.set_opt(cfg.replace(blank_penalty=50.0))  # valid updates still work
+    assert dev.config.blank_penalty == 50.0
